@@ -1,0 +1,65 @@
+"""Command-line renderer.
+
+The reference has no CLI at all — every knob is a comptime constant
+(reference src/main.zig:304-310; build args are forwarded but ignored,
+build.zig:93-95). Here: scene registry + size/spp/depth/seed/output
+flags (SURVEY.md §5 config plan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from rtweekend_tpu.config import SCENE_DEFAULTS, RenderConfig
+from rtweekend_tpu.utils import image as image_mod
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rtweekend-tpu", description=__doc__)
+    p.add_argument("scene", nargs="?", default="cornell_box", choices=sorted(SCENE_DEFAULTS))
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None, help="samples per pixel")
+    p.add_argument("--max-depth", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--output", "-o", default="out.png")
+    p.add_argument("--ppm", action="store_true", help="also write a P3 .ppm next to the output")
+    p.add_argument("--rays-per-chunk", type=int, default=1 << 20)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    defaults = SCENE_DEFAULTS[args.scene]
+    cfg = RenderConfig(
+        scene=args.scene,
+        width=args.width or defaults["width"],
+        height=args.height or defaults["height"],
+        samples_per_pixel=args.spp or defaults["samples_per_pixel"],
+        max_depth=args.max_depth,
+        seed=args.seed,
+        dtype=args.dtype,
+        rays_per_chunk=args.rays_per_chunk,
+        output=args.output,
+    )
+    from rtweekend_tpu.render import render_image
+
+    t0 = time.time()
+    img, _ = render_image(cfg, progress=True)
+    dt = time.time() - t0
+    image_mod.write_png(cfg.output, img)
+    if args.ppm:
+        image_mod.write_ppm(cfg.output.rsplit(".", 1)[0] + ".ppm", img)
+    n_rays = cfg.width * cfg.height * cfg.samples_per_pixel
+    print(
+        f"wrote {cfg.output}: {cfg.width}x{cfg.height} @ {cfg.samples_per_pixel}spp "
+        f"in {dt:.1f}s ({n_rays / dt / 1e6:.2f} Mray/s primary)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Render configuration.
+
+The reference hard-codes all of this as comptime constants
+(reference src/main.zig:304-310 and the per-scene overrides at :320-362);
+here it is a dataclass consumed by the CLI and the render driver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    scene: str = "cornell_box"
+    width: int = 600
+    height: int = 600
+    samples_per_pixel: int = 200
+    max_depth: int = 50
+    seed: int = 42
+    # f32 is the TPU-native default; f64 is available for parity checks
+    # against scalar oracles (requires jax_enable_x64).
+    dtype: str = "float32"
+    # Rays traced per device invocation; bounds peak memory of the
+    # [rays, primitives] intersection workspace.
+    rays_per_chunk: int = 1 << 20
+    output: str = "out.png"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# Per-scene defaults mirroring reference src/main.zig:320-362.
+# Fields: (width, height, spp, vfov, aperture, background, look_from, look_at)
+SCENE_DEFAULTS = {
+    "random_scene": dict(
+        width=600, height=400, samples_per_pixel=50, vfov=20.0, aperture=0.1,
+        background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
+    "two_spheres": dict(
+        width=600, height=400, samples_per_pixel=50, vfov=20.0, aperture=0.0,
+        background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
+    "two_perlin_spheres": dict(
+        width=600, height=400, samples_per_pixel=50, vfov=20.0, aperture=0.0,
+        background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
+    "earth": dict(
+        width=600, height=400, samples_per_pixel=50, vfov=20.0, aperture=0.0,
+        background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
+    "simple_light": dict(
+        width=600, height=400, samples_per_pixel=400, vfov=20.0, aperture=0.0,
+        background=(0.0, 0.0, 0.0), look_from=(26, 3, 6), look_at=(0, 2, 0),
+    ),
+    "cornell_box": dict(
+        width=600, height=600, samples_per_pixel=200, vfov=40.0, aperture=0.0,
+        background=(0.0, 0.0, 0.0), look_from=(278, 278, -800), look_at=(278, 278, 0),
+    ),
+    # Book-cover final scene (BASELINE.json config 4): the reference's
+    # generateRandomScene but with the book's 22x22 grid instead of 6x6
+    # (reference src/main.zig:177-180 quirk; SURVEY.md quirks table).
+    "final_scene": dict(
+        width=1200, height=675, samples_per_pixel=500, vfov=20.0, aperture=0.1,
+        background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
+}
+
+# Shared camera constants: reference src/main.zig:366-376.
+VUP: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+FOCUS_DIST: float = 10.0
+TIME0: float = 0.0
+TIME1: float = 1.0

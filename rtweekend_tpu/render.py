@@ -1,0 +1,165 @@
+"""Render driver: sample-batched accumulation into a framebuffer.
+
+The reference's triple render loop (rows / cols / samples,
+reference src/main.zig:382-402) becomes: generate ALL pixel rays for a
+batch of samples at once, trace them as one wavefront, and accumulate
+the per-pixel radiance sums. Sample batches bound peak memory (the
+[rays, primitives] intersection workspace) and are accumulated on
+device; the tone map (main.zig:395-400) is applied once at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtweekend_tpu.config import (
+    FOCUS_DIST,
+    SCENE_DEFAULTS,
+    TIME0,
+    TIME1,
+    VUP,
+    RenderConfig,
+)
+from rtweekend_tpu.models.builders import build_scene
+from rtweekend_tpu.models.scene import Scene
+from rtweekend_tpu.ops.camera import Camera, generate_rays, make_camera
+from rtweekend_tpu.ops.integrator import trace_paths
+from rtweekend_tpu.utils import image as image_mod
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_samples", "max_depth"),
+    donate_argnames=("accum",),
+)
+def render_batch(
+    scene: Scene,
+    camera: Camera,
+    background,
+    seed,
+    sample_start,
+    accum,
+    *,
+    width: int,
+    height: int,
+    n_samples: int,
+    max_depth: int,
+):
+    """Trace `n_samples` samples for every pixel; add into accum [H,W,3].
+
+    Pixel ids are linear j*width+i with j counted from the image BOTTOM
+    (the reference's v axis); the vertical flip of main.zig:396 happens
+    here at accumulation time.
+    """
+    n_pix = width * height
+    pixel_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), n_samples)
+    sample_ids = sample_start + jnp.tile(
+        jnp.arange(n_samples, dtype=jnp.int32), n_pix
+    )
+
+    o, d, t = generate_rays(camera, width, height, pixel_ids, sample_ids, seed)
+    radiance = trace_paths(
+        scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth
+    )
+
+    sums = jnp.sum(radiance.reshape(n_pix, n_samples, 3), axis=1)
+    fb = sums.reshape(height, width, 3)[::-1]  # flip: row 0 = top
+    return accum + fb
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    background,
+    seed,
+    *,
+    rays_per_chunk: int = 1 << 20,
+    dtype=jnp.float32,
+    progress: bool = False,
+):
+    """Full render; returns the radiance SUM framebuffer [H, W, 3]
+    (divide by spp / tonemap downstream)."""
+    background = jnp.asarray(background, dtype)
+    seed = jnp.uint32(seed)
+    n_pix = width * height
+    batch = max(1, min(samples_per_pixel, rays_per_chunk // n_pix))
+
+    accum = jnp.zeros((height, width, 3), dtype)
+    done = 0
+    while done < samples_per_pixel:
+        n = min(batch, samples_per_pixel - done)
+        accum = render_batch(
+            scene,
+            camera,
+            background,
+            seed,
+            jnp.int32(done),
+            accum,
+            width=width,
+            height=height,
+            n_samples=n,
+            max_depth=max_depth,
+        )
+        done += n
+        if progress:
+            print(f"\rsamples: {done}/{samples_per_pixel}   ", end="", flush=True)
+    if progress:
+        print()
+    return accum
+
+
+def camera_for_scene(name: str, dtype=jnp.float32, aspect_ratio=None) -> Camera:
+    p = SCENE_DEFAULTS[name]
+    aspect = (
+        aspect_ratio
+        if aspect_ratio is not None
+        else p["width"] / p["height"]
+    )
+    return make_camera(
+        p["look_from"],
+        p["look_at"],
+        VUP,
+        p["vfov"],
+        aspect,
+        p["aperture"],
+        FOCUS_DIST,
+        TIME0,
+        TIME1,
+        dtype=dtype,
+    )
+
+
+def render_image(config: RenderConfig, progress: bool = False):
+    """End-to-end: build scene + camera from config, render, tone map.
+
+    Returns (uint8 image [H, W, 3], radiance-sum framebuffer)."""
+    dtype = config.jnp_dtype
+    scene = build_scene(config.scene, seed=config.seed, dtype=dtype)
+    camera = camera_for_scene(
+        config.scene, dtype=dtype, aspect_ratio=config.width / config.height
+    )
+    background = SCENE_DEFAULTS[config.scene]["background"]
+    accum = render(
+        scene,
+        camera,
+        config.width,
+        config.height,
+        config.samples_per_pixel,
+        config.max_depth,
+        background,
+        config.seed,
+        rays_per_chunk=config.rays_per_chunk,
+        dtype=dtype,
+        progress=progress,
+    )
+    img = image_mod.tonemap(accum, config.samples_per_pixel)
+    return np.asarray(img), accum
