@@ -1,7 +1,10 @@
 # Convenience targets (the reference's Makefile drives zig build; here:
 # render / test / bench).
 
-.PHONY: render test bench clean
+.PHONY: render test bench clean native
+
+native:
+	$(MAKE) -C native
 
 render:
 	python -m rtweekend_tpu.cli cornell_box -o out.png

@@ -3,7 +3,8 @@
 The reference has no CLI at all — every knob is a comptime constant
 (reference src/main.zig:304-310; build args are forwarded but ignored,
 build.zig:93-95). Here: scene registry + size/spp/depth/seed/output
-flags (SURVEY.md §5 config plan).
+flags, backend/kernel selection, checkpoint/resume, and profiling
+(SURVEY.md §5 config plan).
 """
 
 from __future__ import annotations
@@ -13,7 +14,6 @@ import sys
 import time
 
 from rtweekend_tpu.config import SCENE_DEFAULTS, RenderConfig
-from rtweekend_tpu.utils import image as image_mod
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -28,11 +28,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", "-o", default="out.png")
     p.add_argument("--ppm", action="store_true", help="also write a P3 .ppm next to the output")
     p.add_argument("--rays-per-chunk", type=int, default=1 << 20)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--kernel", choices=["auto", "pallas", "jnp"], default="auto",
+        help="hot-path implementation (auto = Pallas on TPU when the scene supports it)",
+    )
+    p.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="checkpoint file for resumable rendering",
+    )
+    p.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="capture a jax.profiler trace (perfetto) into DIR",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     defaults = SCENE_DEFAULTS[args.scene]
     cfg = RenderConfig(
         scene=args.scene,
@@ -45,18 +63,53 @@ def main(argv=None) -> int:
         rays_per_chunk=args.rays_per_chunk,
         output=args.output,
     )
-    from rtweekend_tpu.render import render_image
+
+    from rtweekend_tpu.models.builders import build_scene
+    from rtweekend_tpu.render import (
+        camera_for_scene,
+        default_use_pallas,
+        render,
+        render_image,
+    )
+    from rtweekend_tpu.utils import image as image_mod
+    from rtweekend_tpu.utils import profiling
+
+    use_pallas = None
+    if args.kernel != "auto":
+        use_pallas = args.kernel == "pallas"
 
     t0 = time.time()
-    img, _ = render_image(cfg, progress=True)
+    with profiling.trace(args.profile_dir):
+        if args.checkpoint:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from rtweekend_tpu import checkpoint as ckpt
+
+            dtype = cfg.jnp_dtype
+            scene = build_scene(cfg.scene, seed=cfg.seed, dtype=dtype)
+            camera = camera_for_scene(
+                cfg.scene, dtype=dtype, aspect_ratio=cfg.width / cfg.height
+            )
+            accum = ckpt.render_resumable(
+                scene, camera, cfg.scene, cfg.width, cfg.height,
+                cfg.samples_per_pixel, cfg.max_depth,
+                SCENE_DEFAULTS[cfg.scene]["background"], cfg.seed,
+                args.checkpoint, rays_per_chunk=cfg.rays_per_chunk,
+                use_pallas=use_pallas, progress=True,
+            )
+            img = np.asarray(image_mod.tonemap(accum, cfg.samples_per_pixel))
+        else:
+            img, _ = render_image(cfg, progress=True, use_pallas=use_pallas)
     dt = time.time() - t0
+
     image_mod.write_png(cfg.output, img)
     if args.ppm:
         image_mod.write_ppm(cfg.output.rsplit(".", 1)[0] + ".ppm", img)
     n_rays = cfg.width * cfg.height * cfg.samples_per_pixel
     print(
         f"wrote {cfg.output}: {cfg.width}x{cfg.height} @ {cfg.samples_per_pixel}spp "
-        f"in {dt:.1f}s ({n_rays / dt / 1e6:.2f} Mray/s primary)"
+        f"in {dt:.1f}s ({n_rays / dt / 1e6:.3f} Mray/s primary incl. compile)"
     )
     return 0
 

@@ -68,6 +68,25 @@ SCENE_DEFAULTS = {
         width=1200, height=675, samples_per_pixel=500, vfov=20.0, aperture=0.1,
         background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
     ),
+    # Book-1 intermediate scenes (BASELINE.json configs 1-3). Not in the
+    # reference repo (it jumps straight to book-2 content) but part of
+    # the benchmark capability set.
+    "book1_diffuse": dict(
+        width=200, height=100, samples_per_pixel=10, vfov=90.0, aperture=0.0,
+        background=(0.70, 0.80, 1.00), look_from=(0, 0, 0), look_at=(0, 0, -1),
+        focus_dist=1.0,
+    ),
+    "book1_metal_dielectric": dict(
+        width=400, height=225, samples_per_pixel=50, vfov=90.0, aperture=0.0,
+        background=(0.70, 0.80, 1.00), look_from=(0, 0, 0), look_at=(0, 0, -1),
+        focus_dist=1.0,
+    ),
+    "book1_defocus": dict(
+        width=400, height=225, samples_per_pixel=100, vfov=20.0, aperture=2.0,
+        background=(0.70, 0.80, 1.00), look_from=(3, 3, 2), look_at=(0, 0, -1),
+        # focus on the center sphere: |lookfrom - lookat|
+        focus_dist=float((3**2 + 3**2 + 3**2) ** 0.5),
+    ),
 }
 
 # Shared camera constants: reference src/main.zig:366-376.

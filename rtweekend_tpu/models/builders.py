@@ -184,8 +184,39 @@ def cornell_box(builder: SceneBuilder, rng: np.random.Generator):
     )
 
 
+def book1_diffuse(builder: SceneBuilder, rng: np.random.Generator):
+    """Book-1 lambertian + ground (BASELINE config 1)."""
+    ground = builder.material(Diffuse(albedo=Solid((0.5, 0.5, 0.5))))
+    center = builder.material(Diffuse(albedo=Solid((0.5, 0.5, 0.5))))
+    builder.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    builder.add_sphere((0.0, 0.0, -1.0), 0.5, center)
+
+
+def book1_metal_dielectric(builder: SceneBuilder, rng: np.random.Generator):
+    """Book-1 four-sphere scene with fuzz + hollow glass (config 2).
+
+    The hollow glass uses a NEGATIVE-radius inner sphere: the quadratic
+    is radius-sign-agnostic while the outward normal (p-c)/r flips,
+    making the surface's inside face outward — handled natively by the
+    SoA intersect (outward normal divides by the signed radius)."""
+    ground = builder.material(Diffuse(albedo=Solid((0.8, 0.8, 0.0))))
+    center = builder.material(Diffuse(albedo=Solid((0.1, 0.2, 0.5))))
+    glass = builder.material(Dielectric(ir=1.5))
+    metal = builder.material(Metal(albedo=(0.8, 0.6, 0.2), fuzz=0.3))
+    builder.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    builder.add_sphere((0.0, 0.0, -1.0), 0.5, center)
+    builder.add_sphere((-1.0, 0.0, -1.0), 0.5, glass)
+    builder.add_sphere((-1.0, 0.0, -1.0), -0.45, glass)  # hollow shell
+    builder.add_sphere((1.0, 0.0, -1.0), 0.5, metal)
+
+
 SCENES = {
     "random_scene": random_scene,
+    "book1_diffuse": book1_diffuse,
+    "book1_metal_dielectric": book1_metal_dielectric,
+    # config 3 reuses the 4-sphere world with the defocus camera
+    # (camera params live in config.SCENE_DEFAULTS["book1_defocus"]).
+    "book1_defocus": book1_metal_dielectric,
     "two_spheres": two_spheres,
     "two_perlin_spheres": two_perlin_spheres,
     "earth": earth,

@@ -1,0 +1,592 @@
+"""Pallas TPU bounce megakernel.
+
+The whole per-ray path loop — intersect every primitive, pick the
+closest, scatter, accumulate radiance, for all `max_depth` bounces —
+runs inside ONE Pallas kernel. Ray state lives in vector registers/VMEM
+for the entire path; HBM traffic is one read of the camera rays and one
+write of the radiance. This is the TPU-native replacement for the jnp
+wavefront integrator's hot path (ops/integrator.py), which itself
+replaces the reference's recursive rayColor (reference src/main.zig:103-122).
+
+Design (see SURVEY.md §7):
+- Rays ride the VPU lanes: a tile is (8, 128) = 1024 rays, one program
+  per tile on the grid.
+- Primitives are marched with a scalar loop: all per-primitive
+  parameters (geometry + DENORMALIZED material/texture constants) are
+  packed into small SMEM tables and read as scalars, broadcast against
+  the ray tile. No gathers anywhere — the closest-hit "record" is a set
+  of vector registers updated by `where(closer, new, old)` per
+  primitive, which is exactly the reference's closest-so-far scan
+  (hittable.zig:231-244) vectorized over 1024 rays.
+- RNG is the same PCG4D counter hash as the jnp path (utils/rng.py) at
+  the same stream ids, so kernel output matches the jnp integrator to
+  float reassociation.
+- Per-tile early exit: once every ray in the tile is dead, remaining
+  bounce iterations skip the primitive loops via lax.cond. Path tracing
+  kills most rays in a few bounces, so this is a large win at depth 50.
+
+Coverage: spheres (incl. motion), rects (incl. baked rotate/translate),
+all four materials, solid + checker textures. Scenes using Perlin-noise
+or image textures (they need table gathers, which do not map to the
+lane-oriented design) fall back to the jnp integrator — see
+supports_scene().
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtweekend_tpu.models.scene import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE,
+    MAT_LIGHT,
+    MAT_METAL,
+    Scene,
+    TEX_CHECKER,
+)
+from rtweekend_tpu.ops.intersect import BIG, T_MIN
+from rtweekend_tpu.utils.rng import BOUNCE_STREAM0
+
+TILE = 1024  # rays per program: (8, 128)
+_NEAR_ZERO = 1e-8
+
+# Packed SMEM table rows (see _pack_scene).
+# Spheres: geometry 9 + material 7 float rows, 2 int rows.
+_SF_C0X, _SF_C0Y, _SF_C0Z, _SF_DCX, _SF_DCY, _SF_DCZ, _SF_T0, _SF_IDT, \
+    _SF_RAD, _SF_FUZZ, _SF_IOR, _SF_CR, _SF_CG, _SF_CB, _SF_C2R, _SF_C2G, \
+    _SF_C2B = range(17)
+_SI_MTYPE, _SI_TTYPE = range(2)
+# Rects: geometry 20 + material 7 float rows, 2 int rows.
+_RF_WNX, _RF_WNY, _RF_WNZ, _RF_BN, _RF_WAX, _RF_WAY, _RF_WAZ, _RF_BA, \
+    _RF_WBX, _RF_WBY, _RF_WBZ, _RF_BB, _RF_K, _RF_A0, _RF_A1, _RF_B0, \
+    _RF_B1, _RF_NX, _RF_NY, _RF_NZ, _RF_FUZZ, _RF_IOR, _RF_CR, _RF_CG, \
+    _RF_CB, _RF_C2R, _RF_C2G, _RF_C2B = range(28)
+_RI_MTYPE, _RI_TTYPE = range(2)
+
+
+def supports_scene(scene: Scene) -> bool:
+    """Kernel-eligible: no Perlin-noise and no image textures."""
+    return not (scene.has_noise or scene.has_image)
+
+
+def _pack_scene(scene: Scene):
+    """Denormalize materials/textures onto primitives and pack into
+    [rows, P] SMEM tables. Sharing-by-index (the reference's Rc-shared
+    materials) becomes plain duplication of a few scalars per primitive."""
+    sp, rc = scene.spheres, scene.rects
+    mats, tex = scene.materials, scene.textures
+
+    def mat_rows(mat_id):
+        tid = mats.tex_id[mat_id]
+        return (
+            [
+                mats.fuzz[mat_id],
+                mats.ior[mat_id],
+                tex.color[tid, 0],
+                tex.color[tid, 1],
+                tex.color[tid, 2],
+                tex.color2[tid, 0],
+                tex.color2[tid, 1],
+                tex.color2[tid, 2],
+            ],
+            [mats.mtype[mat_id], tex.ttype[tid]],
+        )
+
+    s_mf, s_mi = mat_rows(sp.mat_id)
+    # inactive padding spheres get radius 0 -> guaranteed miss even if
+    # the quadratic is degenerate (disc = hb^2 - a*|oc|^2 <= 0).
+    radius = jnp.where(sp.active, sp.radius, 0.0)
+    sph_f = jnp.stack(
+        [
+            sp.c0[:, 0], sp.c0[:, 1], sp.c0[:, 2],
+            sp.dc[:, 0], sp.dc[:, 1], sp.dc[:, 2],
+            sp.time0, sp.inv_dt, radius,
+        ]
+        + s_mf[:1] + s_mf[1:2] + s_mf[2:]
+    )
+    sph_i = jnp.stack(s_mi).astype(jnp.int32)
+
+    r_mf, r_mi = mat_rows(rc.mat_id)
+    # inactive rects: degenerate bounds a0 > a1 already guarantee a miss
+    rect_f = jnp.stack(
+        [
+            rc.wn[:, 0], rc.wn[:, 1], rc.wn[:, 2], rc.bn,
+            rc.wa[:, 0], rc.wa[:, 1], rc.wa[:, 2], rc.ba,
+            rc.wb[:, 0], rc.wb[:, 1], rc.wb[:, 2], rc.bb,
+            rc.k, rc.a0, rc.a1, rc.b0, rc.b1,
+            rc.normal[:, 0], rc.normal[:, 1], rc.normal[:, 2],
+        ]
+        + r_mf
+    )
+    rect_i = jnp.stack(r_mi).astype(jnp.int32)
+    return sph_f, sph_i, rect_f, rect_i
+
+
+def _pcg4d(a, b, c, d):
+    """PCG4D over (8,128) uint32 vectors — same sequence as
+    utils/rng.pcg4d, inlined for the Mosaic-supported op set."""
+    u = jnp.uint32
+    x = a * u(1664525) + u(1013904223)
+    y = b * u(1664525) + u(1013904223)
+    z = c * u(1664525) + u(1013904223)
+    w = d * u(1664525) + u(1013904223)
+    x += y * w
+    y += z * x
+    z += x * y
+    w += y * z
+    x ^= x >> u(16)
+    y ^= y >> u(16)
+    z ^= z >> u(16)
+    w ^= w >> u(16)
+    x += y * w
+    y += z * x
+    z += x * y
+    w += y * z
+    return x, y, z, w
+
+
+def _to_unit(bits):
+    # uint32 -> [0,1): top 24 bits; cast routed via an int32 bitcast
+    # (Mosaic has no direct uint32->f32 convert). The value fits in 24
+    # bits, so the sign is always clear.
+    return pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32).astype(
+        jnp.float32
+    ) * (2.0 ** -24)
+
+
+def _uniform4(pix_u, smp_u, stream_u, seed_u):
+    x, y, z, w = _pcg4d(pix_u, smp_u, stream_u, seed_u)
+    return _to_unit(x), _to_unit(y), _to_unit(z), _to_unit(w)
+
+
+def _gauss4(u0, u1, u2, u3):
+    two_pi = 2.0 * jnp.pi
+    r0 = jnp.sqrt(-2.0 * jnp.log1p(-u0))
+    r1 = jnp.sqrt(-2.0 * jnp.log1p(-u2))
+    return (
+        r0 * jnp.cos(two_pi * u1),
+        r0 * jnp.sin(two_pi * u1),
+        r1 * jnp.cos(two_pi * u3),
+        r1 * jnp.sin(two_pi * u3),
+    )
+
+
+def _make_kernel(n_spheres: int, n_rects: int, max_depth: int, t_min: float):
+    """Build the kernel body with static primitive counts and depth."""
+
+    def kernel(
+        sph_f_ref, sph_i_ref, rect_f_ref, rect_i_ref, seed_ref, bg_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+        pid_ref, sid_ref,
+        rr_ref, rg_ref, rb_ref,
+    ):
+        seed_u = seed_ref[0]
+        bg_r = bg_ref[0]
+        bg_g = bg_ref[1]
+        bg_b = bg_ref[2]
+
+        time = tm_ref[0]
+        pix_u = pltpu.bitcast(pid_ref[0], jnp.uint32)
+        smp_u = pltpu.bitcast(sid_ref[0], jnp.uint32)
+
+        def intersect_all(ox, oy, oz, dx, dy, dz):
+            """Closest hit over all primitives for the ray tile.
+
+            Returns (t_best, is_sphere, attr registers...) — the
+            vectorized closest-so-far scan."""
+            t_best = jnp.full_like(ox, BIG)
+            zeros = jnp.zeros_like(ox)
+            izeros = jnp.zeros_like(ox, dtype=jnp.int32)
+            # winner attrs: sphere center (at ray time) + inv radius;
+            # rect normal; material scalars.
+            st = dict(
+                t=t_best, is_sph=zeros, cx=zeros, cy=zeros, cz=zeros,
+                inv_r=zeros, nx=zeros, ny=zeros, nz=zeros + 1.0,
+                mtype=izeros, ttype=izeros, fuzz=zeros, ior=zeros + 1.0,
+                cr=zeros, cg=zeros, cb=zeros, c2r=zeros, c2g=zeros,
+                c2b=zeros,
+            )
+            keys = tuple(st.keys())
+
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
+            o_d = ox * dx + oy * dy + oz * dz
+
+            def sph_body(i, carry):
+                st = dict(zip(keys, carry))
+                c0x = sph_f_ref[_SF_C0X, i]
+                c0y = sph_f_ref[_SF_C0Y, i]
+                c0z = sph_f_ref[_SF_C0Z, i]
+                dcx = sph_f_ref[_SF_DCX, i]
+                dcy = sph_f_ref[_SF_DCY, i]
+                dcz = sph_f_ref[_SF_DCZ, i]
+                t0 = sph_f_ref[_SF_T0, i]
+                idt = sph_f_ref[_SF_IDT, i]
+                rad = sph_f_ref[_SF_RAD, i]
+                # center at each ray's shutter time (hittable.zig:219-221)
+                s_t = (time - t0) * idt
+                cx = c0x + s_t * dcx
+                cy = c0y + s_t * dcy
+                cz = c0z + s_t * dcz
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c_coef = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = half_b * half_b - a * c_coef
+                ok = disc > 0.0
+                sqrtd = jnp.sqrt(jnp.where(ok, disc, 1.0))
+                root1 = (-half_b - sqrtd) * inv_a
+                root2 = (-half_b + sqrtd) * inv_a
+                t_c = jnp.where(
+                    ok & (root1 >= t_min), root1,
+                    jnp.where(ok & (root2 >= t_min), root2, BIG),
+                )
+                closer = t_c < st["t"]
+                new = dict(
+                    t=t_c, is_sph=jnp.ones_like(t_c), cx=cx + 0 * t_c,
+                    cy=cy + 0 * t_c, cz=cz + 0 * t_c,
+                    inv_r=1.0 / rad + 0 * t_c,
+                    nx=st["nx"], ny=st["ny"], nz=st["nz"],
+                    mtype=sph_i_ref[_SI_MTYPE, i] + 0 * st["mtype"],
+                    ttype=sph_i_ref[_SI_TTYPE, i] + 0 * st["ttype"],
+                    fuzz=sph_f_ref[_SF_FUZZ, i] + 0 * t_c,
+                    ior=sph_f_ref[_SF_IOR, i] + 0 * t_c,
+                    cr=sph_f_ref[_SF_CR, i] + 0 * t_c,
+                    cg=sph_f_ref[_SF_CG, i] + 0 * t_c,
+                    cb=sph_f_ref[_SF_CB, i] + 0 * t_c,
+                    c2r=sph_f_ref[_SF_C2R, i] + 0 * t_c,
+                    c2g=sph_f_ref[_SF_C2G, i] + 0 * t_c,
+                    c2b=sph_f_ref[_SF_C2B, i] + 0 * t_c,
+                )
+                out = {
+                    k: jnp.where(closer, new[k], st[k]) for k in keys
+                }
+                return tuple(out[k] for k in keys)
+
+            def rect_body(i, carry):
+                st = dict(zip(keys, carry))
+                wnx = rect_f_ref[_RF_WNX, i]
+                wny = rect_f_ref[_RF_WNY, i]
+                wnz = rect_f_ref[_RF_WNZ, i]
+                bn = rect_f_ref[_RF_BN, i]
+                on = ox * wnx + oy * wny + oz * wnz + bn
+                dn = dx * wnx + dy * wny + dz * wnz
+                dn_ok = dn != 0.0
+                t_c = (rect_f_ref[_RF_K, i] - on) / jnp.where(dn_ok, dn, 1.0)
+                wax = rect_f_ref[_RF_WAX, i]
+                way = rect_f_ref[_RF_WAY, i]
+                waz = rect_f_ref[_RF_WAZ, i]
+                ba = rect_f_ref[_RF_BA, i]
+                wbx = rect_f_ref[_RF_WBX, i]
+                wby = rect_f_ref[_RF_WBY, i]
+                wbz = rect_f_ref[_RF_WBZ, i]
+                bb = rect_f_ref[_RF_BB, i]
+                a_hit = ox * wax + oy * way + oz * waz + ba + t_c * (
+                    dx * wax + dy * way + dz * waz
+                )
+                b_hit = ox * wbx + oy * wby + oz * wbz + bb + t_c * (
+                    dx * wbx + dy * wby + dz * wbz
+                )
+                ok = (
+                    dn_ok
+                    & (t_c >= t_min)
+                    & (a_hit >= rect_f_ref[_RF_A0, i])
+                    & (a_hit <= rect_f_ref[_RF_A1, i])
+                    & (b_hit >= rect_f_ref[_RF_B0, i])
+                    & (b_hit <= rect_f_ref[_RF_B1, i])
+                )
+                t_c = jnp.where(ok, t_c, BIG)
+                closer = t_c < st["t"]
+                new = dict(
+                    t=t_c, is_sph=jnp.zeros_like(t_c), cx=st["cx"],
+                    cy=st["cy"], cz=st["cz"], inv_r=st["inv_r"],
+                    nx=rect_f_ref[_RF_NX, i] + 0 * t_c,
+                    ny=rect_f_ref[_RF_NY, i] + 0 * t_c,
+                    nz=rect_f_ref[_RF_NZ, i] + 0 * t_c,
+                    mtype=rect_i_ref[_RI_MTYPE, i] + 0 * st["mtype"],
+                    ttype=rect_i_ref[_RI_TTYPE, i] + 0 * st["ttype"],
+                    fuzz=rect_f_ref[_RF_FUZZ, i] + 0 * t_c,
+                    ior=rect_f_ref[_RF_IOR, i] + 0 * t_c,
+                    cr=rect_f_ref[_RF_CR, i] + 0 * t_c,
+                    cg=rect_f_ref[_RF_CG, i] + 0 * t_c,
+                    cb=rect_f_ref[_RF_CB, i] + 0 * t_c,
+                    c2r=rect_f_ref[_RF_C2R, i] + 0 * t_c,
+                    c2g=rect_f_ref[_RF_C2G, i] + 0 * t_c,
+                    c2b=rect_f_ref[_RF_C2B, i] + 0 * t_c,
+                )
+                out = {
+                    k: jnp.where(closer, new[k], st[k]) for k in keys
+                }
+                return tuple(out[k] for k in keys)
+
+            carry = tuple(st[k] for k in keys)
+            carry = jax.lax.fori_loop(0, n_spheres, sph_body, carry)
+            carry = jax.lax.fori_loop(0, n_rects, rect_body, carry)
+            return dict(zip(keys, carry))
+
+        def bounce_body(b, carry):
+            # alive_f is a float 0/1 mask: Mosaic rejects i1 vectors in
+            # loop carries ("unsupported target bitwidth").
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive_f) = carry
+            alive = alive_f > 0.5
+
+            h = intersect_all(ox, oy, oz, dx, dy, dz)
+            hit = h["t"] < BIG * 0.5
+            t_eff = jnp.where(hit, h["t"], 1.0)
+            px = ox + t_eff * dx
+            py = oy + t_eff * dy
+            pz = oz + t_eff * dz
+
+            # outward normal: sphere (p-c)/r vs rect table normal
+            is_s = h["is_sph"] > 0.5
+            onx = jnp.where(is_s, (px - h["cx"]) * h["inv_r"], h["nx"])
+            ony = jnp.where(is_s, (py - h["cy"]) * h["inv_r"], h["ny"])
+            onz = jnp.where(is_s, (pz - h["cz"]) * h["inv_r"], h["nz"])
+            d_dot_n = dx * onx + dy * ony + dz * onz
+            front = d_dot_n < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx = onx * sgn
+            ny = ony * sgn
+            nz = onz * sgn
+
+            # ---- RNG (same streams as ops/scatter.py) ----
+            stream_a = jnp.uint32(BOUNCE_STREAM0) + jnp.uint32(2) * b.astype(
+                jnp.uint32
+            )
+            stream_b = stream_a + jnp.uint32(1)
+            sa = jnp.broadcast_to(stream_a, pix_u.shape)
+            sb = jnp.broadcast_to(stream_b, pix_u.shape)
+            sd = jnp.broadcast_to(seed_u, pix_u.shape)
+            ua0, ua1, ua2, ua3 = _uniform4(pix_u, smp_u, sa, sd)
+            ub0, ub1, _, _ = _uniform4(pix_u, smp_u, sb, sd)
+            g0, g1, g2, _ = _gauss4(ua0, ua1, ua2, ua3)
+            g_norm = jnp.sqrt(g0 * g0 + g1 * g1 + g2 * g2)
+            g_zero = g_norm == 0.0
+            inv_g = jax.lax.rsqrt(
+                jnp.where(g_zero, 1.0, g0 * g0 + g1 * g1 + g2 * g2)
+            )
+            uvx = jnp.where(g_zero, g0, g0 * inv_g)
+            uvy = jnp.where(g_zero, g1, g1 * inv_g)
+            uvz = jnp.where(g_zero, g2, g2 * inv_g)
+            # cbrt via exp/log (Mosaic has no cbrt primitive); u=0 maps
+            # to ~1e-10 instead of 0 — immaterial for a fuzz radius.
+            crad = jnp.exp(jnp.log(jnp.maximum(ub0, 1e-30)) * (1.0 / 3.0))
+
+            # ---- texture value at hit (solid / checker) ----
+            sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+            odd = sines < 0.0
+            is_check = h["ttype"] == TEX_CHECKER
+            tex_r = jnp.where(is_check & odd, h["c2r"], h["cr"])
+            tex_g = jnp.where(is_check & odd, h["c2g"], h["cg"])
+            tex_b = jnp.where(is_check & odd, h["c2b"], h["cb"])
+
+            # ---- diffuse (material.zig:41-53) ----
+            ddx = nx + uvx
+            ddy = ny + uvy
+            ddz = nz + uvz
+            deg = (
+                (jnp.abs(ddx) < _NEAR_ZERO)
+                & (jnp.abs(ddy) < _NEAR_ZERO)
+                & (jnp.abs(ddz) < _NEAR_ZERO)
+            )
+            ddx = jnp.where(deg, nx, ddx)
+            ddy = jnp.where(deg, ny, ddy)
+            ddz = jnp.where(deg, nz, ddz)
+
+            # ---- metal (material.zig:55-66) ----
+            d_nsq = dx * dx + dy * dy + dz * dz
+            inv_dn = jax.lax.rsqrt(jnp.where(d_nsq == 0.0, 1.0, d_nsq))
+            ux = dx * inv_dn
+            uy = dy * inv_dn
+            uz = dz * inv_dn
+            u_dot_n = ux * nx + uy * ny + uz * nz
+            rx = ux - 2.0 * u_dot_n * nx
+            ry = uy - 2.0 * u_dot_n * ny
+            rz = uz - 2.0 * u_dot_n * nz
+            mdx = rx + h["fuzz"] * (uvx * crad)
+            mdy = ry + h["fuzz"] * (uvy * crad)
+            mdz = rz + h["fuzz"] * (uvz * crad)
+            metal_alive = (rx * nx + ry * ny + rz * nz) > 0.0
+
+            # ---- dielectric (material.zig:68-92) ----
+            ratio = jnp.where(front, 1.0 / h["ior"], h["ior"])
+            cos_t = jnp.minimum(-(u_dot_n), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-20))
+            can_refract = ratio * sin_t <= 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            one_c = 1.0 - cos_t
+            one_c5 = one_c * one_c
+            one_c5 = one_c5 * one_c5 * one_c
+            refl = r0 + (1.0 - r0) * one_c5
+            do_refract = can_refract & (refl < ub1)
+            perp_x = ratio * (ux + cos_t * nx)
+            perp_y = ratio * (uy + cos_t * ny)
+            perp_z = ratio * (uz + cos_t * nz)
+            perp_sq = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
+            par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - perp_sq), 1e-12))
+            fdx = perp_x + par * nx
+            fdy = perp_y + par * ny
+            fdz = perp_z + par * nz
+            gdx = jnp.where(do_refract, fdx, rx)
+            gdy = jnp.where(do_refract, fdy, ry)
+            gdz = jnp.where(do_refract, fdz, rz)
+
+            # ---- select by material ----
+            is_metal = h["mtype"] == MAT_METAL
+            is_diel = h["mtype"] == MAT_DIELECTRIC
+            is_light = h["mtype"] == MAT_LIGHT
+            ndx = jnp.where(is_metal, mdx, ddx)
+            ndy = jnp.where(is_metal, mdy, ddy)
+            ndz = jnp.where(is_metal, mdz, ddz)
+            ndx = jnp.where(is_diel, gdx, ndx)
+            ndy = jnp.where(is_diel, gdy, ndy)
+            ndz = jnp.where(is_diel, gdz, ndz)
+            at_r = jnp.where(is_diel, 1.0, tex_r)
+            at_g = jnp.where(is_diel, 1.0, tex_g)
+            at_b = jnp.where(is_diel, 1.0, tex_b)
+            # logical form, not where-on-bools: Mosaic cannot truncate
+            # the i8 select result back to an i1 mask
+            sc_alive = (is_metal & metal_alive) | (~is_metal & ~is_light)
+
+            # ---- accumulate (main.zig:110-121 semantics) ----
+            hit_live = alive & hit
+            miss_live = alive & ~hit
+            em = hit_live & is_light
+            rr = rr + jnp.where(em, tr * tex_r, 0.0) + jnp.where(
+                miss_live, tr * bg_r, 0.0
+            )
+            rg = rg + jnp.where(em, tg * tex_g, 0.0) + jnp.where(
+                miss_live, tg * bg_g, 0.0
+            )
+            rb = rb + jnp.where(em, tb * tex_b, 0.0) + jnp.where(
+                miss_live, tb * bg_b, 0.0
+            )
+            new_alive = hit_live & sc_alive
+            tr = jnp.where(new_alive, tr * at_r, tr)
+            tg = jnp.where(new_alive, tg * at_g, tg)
+            tb = jnp.where(new_alive, tb * at_b, tb)
+            ox = jnp.where(new_alive, px, ox)
+            oy = jnp.where(new_alive, py, oy)
+            oz = jnp.where(new_alive, pz, oz)
+            dx = jnp.where(new_alive, ndx, dx)
+            dy = jnp.where(new_alive, ndy, dy)
+            dz = jnp.where(new_alive, ndz, dz)
+            new_alive_f = jnp.where(new_alive, 1.0, 0.0)
+            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, new_alive_f)
+
+        def bounce_guarded(b, carry):
+            alive_f = carry[-1]
+            return jax.lax.cond(
+                jnp.max(alive_f) > 0.5,
+                lambda: bounce_body(b, carry),
+                lambda: carry,
+            )
+
+        ox = ox_ref[0]
+        zero = jnp.zeros_like(ox)
+        one = jnp.ones_like(ox)
+        init = (
+            ox, oy_ref[0], oz_ref[0],
+            dx_ref[0], dy_ref[0], dz_ref[0],
+            one, one, one,            # throughput
+            zero, zero, zero,         # radiance
+            one,                      # alive (float mask)
+        )
+        out = jax.lax.fori_loop(0, max_depth, bounce_guarded, init)
+        rr_ref[0] = out[9]
+        rg_ref[0] = out[10]
+        rb_ref[0] = out[11]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "t_min", "interpret"),
+)
+def trace_paths_pallas(
+    scene: Scene,
+    origins,
+    dirs,
+    times,
+    pixel_ids,
+    sample_ids,
+    seed,
+    background,
+    max_depth: int,
+    *,
+    t_min: float = T_MIN,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.integrator.trace_paths on supported
+    scenes (f32, forward only). Returns radiance [N, 3]."""
+    n = origins.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    grid = n_pad // TILE
+
+    def prep_f(x, fill=0.0):
+        return (
+            jnp.concatenate([x, jnp.full((n_pad - n,), fill, x.dtype)])
+            .reshape(grid, 8, 128)
+        )
+
+    sph_f, sph_i, rect_f, rect_i = _pack_scene(scene)
+    background = jnp.asarray(background, jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    ray_specs = [
+        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(9)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+
+    kernel = _make_kernel(
+        int(sph_f.shape[1]), int(rect_f.shape[1]), max_depth, t_min
+    )
+    n_prims = sph_f.shape[1] + rect_f.shape[1]
+    cost = pl.CostEstimate(
+        flops=int(n_pad) * max_depth * (n_prims * 25 + 150),
+        bytes_accessed=int(n_pad) * 12 * 4,
+        transcendentals=int(n_pad) * max_depth * 12,
+    )
+
+    rr, rg, rb = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sph_f
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sph_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rect_f
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rect_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # background
+        ]
+        + ray_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32) for _ in range(3)
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        sph_f, sph_i, rect_f, rect_i, seed_arr, background,
+        prep_f(origins[:, 0]), prep_f(origins[:, 1]), prep_f(origins[:, 2]),
+        prep_f(dirs[:, 0]), prep_f(dirs[:, 1]), prep_f(dirs[:, 2], 1.0),
+        prep_f(times),
+        prep_f(pixel_ids, 0).astype(jnp.int32),
+        prep_f(sample_ids, 0).astype(jnp.int32),
+    )
+    rad = jnp.stack(
+        [rr.reshape(n_pad), rg.reshape(n_pad), rb.reshape(n_pad)], axis=-1
+    )
+    return rad[:n]

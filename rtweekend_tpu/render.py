@@ -32,9 +32,34 @@ from rtweekend_tpu.ops.integrator import trace_paths
 from rtweekend_tpu.utils import image as image_mod
 
 
+def _trace_dispatch(scene, o, d, t, pixel_ids, sample_ids, seed, background,
+                    max_depth, use_pallas):
+    if use_pallas:
+        from rtweekend_tpu.ops.pallas.megakernel import trace_paths_pallas
+
+        return trace_paths_pallas(
+            scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth
+        )
+    return trace_paths(
+        scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth
+    )
+
+
+def default_use_pallas(scene: Scene, dtype) -> bool:
+    """The Pallas megakernel runs on TPU for f32 scenes without
+    noise/image textures (see ops/pallas/megakernel.py)."""
+    from rtweekend_tpu.ops.pallas.megakernel import supports_scene
+
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and supports_scene(scene)
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "n_samples", "max_depth"),
+    static_argnames=("width", "height", "n_samples", "max_depth", "use_pallas"),
     donate_argnames=("accum",),
 )
 def render_batch(
@@ -49,6 +74,7 @@ def render_batch(
     height: int,
     n_samples: int,
     max_depth: int,
+    use_pallas: bool = False,
 ):
     """Trace `n_samples` samples for every pixel; add into accum [H,W,3].
 
@@ -63,8 +89,9 @@ def render_batch(
     )
 
     o, d, t = generate_rays(camera, width, height, pixel_ids, sample_ids, seed)
-    radiance = trace_paths(
-        scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth
+    radiance = _trace_dispatch(
+        scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth,
+        use_pallas,
     )
 
     sums = jnp.sum(radiance.reshape(n_pix, n_samples, 3), axis=1)
@@ -85,13 +112,20 @@ def render(
     rays_per_chunk: int = 1 << 20,
     dtype=jnp.float32,
     progress: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Full render; returns the radiance SUM framebuffer [H, W, 3]
     (divide by spp / tonemap downstream)."""
     background = jnp.asarray(background, dtype)
     seed = jnp.uint32(seed)
+    if use_pallas is None:
+        use_pallas = default_use_pallas(scene, dtype)
     n_pix = width * height
     batch = max(1, min(samples_per_pixel, rays_per_chunk // n_pix))
+    # Prefer a batch size that divides spp evenly: one compiled shape
+    # instead of two (remote-TPU compiles are expensive).
+    while batch > 1 and samples_per_pixel % batch:
+        batch -= 1
 
     accum = jnp.zeros((height, width, 3), dtype)
     done = 0
@@ -108,6 +142,7 @@ def render(
             height=height,
             n_samples=n,
             max_depth=max_depth,
+            use_pallas=use_pallas,
         )
         done += n
         if progress:
@@ -131,14 +166,16 @@ def camera_for_scene(name: str, dtype=jnp.float32, aspect_ratio=None) -> Camera:
         p["vfov"],
         aspect,
         p["aperture"],
-        FOCUS_DIST,
+        p.get("focus_dist", FOCUS_DIST),
         TIME0,
         TIME1,
         dtype=dtype,
     )
 
 
-def render_image(config: RenderConfig, progress: bool = False):
+def render_image(
+    config: RenderConfig, progress: bool = False, use_pallas: Optional[bool] = None
+):
     """End-to-end: build scene + camera from config, render, tone map.
 
     Returns (uint8 image [H, W, 3], radiance-sum framebuffer)."""
@@ -160,6 +197,7 @@ def render_image(config: RenderConfig, progress: bool = False):
         rays_per_chunk=config.rays_per_chunk,
         dtype=dtype,
         progress=progress,
+        use_pallas=use_pallas,
     )
     img = image_mod.tonemap(accum, config.samples_per_pixel)
     return np.asarray(img), accum

@@ -35,8 +35,16 @@ def tonemap_f(accum, samples_per_pixel):
 
 
 def write_ppm(path, pixels_u8):
-    """Plain-text P3 PPM (BASELINE.json config 1 asks for PPM parity)."""
+    """Plain-text P3 PPM (BASELINE.json config 1 asks for PPM parity).
+    Uses the native encoder (native/rtw_native.cpp) when built."""
     arr = np.asarray(pixels_u8)
+    from rtweekend_tpu.utils import native
+
+    data = native.ppm_encode(arr)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     h, w, _ = arr.shape
     lines = [f"P3\n{w} {h}\n255\n"]
     flat = arr.reshape(-1, 3)
@@ -46,9 +54,16 @@ def write_ppm(path, pixels_u8):
 
 
 def write_png(path, pixels_u8):
-    """PNG encode. Uses Pillow when present, else a built-in minimal
-    encoder (8-bit RGB, zlib)."""
+    """PNG encode: native C++ encoder (native/rtw_native.cpp) when
+    built, else Pillow, else a built-in minimal zlib encoder."""
     arr = np.ascontiguousarray(np.asarray(pixels_u8), dtype=np.uint8)
+    from rtweekend_tpu.utils import native
+
+    data = native.png_encode(arr)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     try:
         from PIL import Image
 

@@ -1,0 +1,105 @@
+"""Pallas megakernel parity vs the jnp integrator (interpret mode on
+CPU — same kernel code path Mosaic compiles on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtweekend_tpu.models.builders import build_scene
+from rtweekend_tpu.models.scene import (
+    Dielectric,
+    Diffuse,
+    DiffuseLight,
+    Metal,
+    SceneBuilder,
+    Solid,
+)
+from rtweekend_tpu.ops.camera import generate_rays
+from rtweekend_tpu.ops.integrator import trace_paths
+from rtweekend_tpu.ops.pallas.megakernel import supports_scene, trace_paths_pallas
+from rtweekend_tpu.render import camera_for_scene
+
+SEED = jnp.uint32(42)
+
+
+def _parity(scene, cam_name, bg, n=1024, depth=6, aspect=1.0):
+    cam = camera_for_scene(cam_name, aspect_ratio=aspect)
+    pid = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+    sid = jnp.arange(n, dtype=jnp.int32) // (32 * 32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.asarray(bg, jnp.float32)
+    r_jnp = np.asarray(
+        trace_paths(scene, o, d, t, pid, sid, SEED, bg, depth)
+    )
+    r_pl = np.asarray(
+        trace_paths_pallas(
+            scene, o, d, t, pid, sid, SEED, bg, depth, interpret=True
+        )
+    )
+    return r_jnp, r_pl
+
+
+def test_cornell_parity():
+    scene = build_scene("cornell_box")
+    assert supports_scene(scene)
+    r_jnp, r_pl = _parity(scene, "cornell_box", (0, 0, 0))
+    np.testing.assert_allclose(r_pl, r_jnp, rtol=1e-5, atol=1e-6)
+
+
+def test_final_scene_parity():
+    """Exercises motion blur, metal, dielectric, checker, lens blur.
+
+    The jnp integrator computes the sphere quadratic in matmul-expanded
+    form (|o|^2 - 2 o.c + |c|^2) while the kernel uses the direct
+    (o-c) form; the f32 difference flips discrete decisions (closest
+    root, Schlick Bernoulli) on a small fraction of rays, whose paths
+    then diverge — legitimately different MC samples. Parity is
+    therefore elementwise for the vast majority plus statistical for
+    the whole batch."""
+    scene = build_scene("final_scene")
+    assert supports_scene(scene)
+    r_jnp, r_pl = _parity(
+        scene, "final_scene", (0.7, 0.8, 1.0), depth=8, aspect=16 / 9
+    )
+    assert r_jnp.mean() > 0.1  # sky-lit scene is bright
+    diff = np.abs(r_pl - r_jnp)
+    assert (diff > 1e-3).mean() < 0.03, f"too many diverged lanes: {(diff>1e-3).mean()}"
+    np.testing.assert_allclose(r_pl.mean(axis=0), r_jnp.mean(axis=0), rtol=0.02)
+
+
+def test_unsupported_scene_flags():
+    assert not supports_scene(build_scene("two_perlin_spheres"))
+    assert not supports_scene(build_scene("earth"))
+    assert not supports_scene(build_scene("simple_light"))  # noise tex
+    assert supports_scene(build_scene("two_spheres"))
+
+
+def test_light_termination_parity():
+    b = SceneBuilder()
+    b.add_rect("xy", -1, 1, -1, 1, -2.0, b.material(DiffuseLight(emit=Solid((4, 4, 4)))))
+    b.add_sphere((0, 0, -1.0), 0.3, b.material(Metal(albedo=(0.9, 0.8, 0.7), fuzz=0.3)))
+    b.add_sphere((0.5, 0, -1.2), 0.2, b.material(Dielectric(ir=1.5)))
+    b.add_sphere((-0.5, 0, -1.2), 0.2, b.material(Diffuse(albedo=Solid((0.2, 0.6, 0.3)))))
+    scene = b.build()
+    r_jnp, r_pl = _parity(scene, "cornell_box", (0.1, 0.1, 0.2))
+    np.testing.assert_allclose(r_pl, r_jnp, rtol=1e-5, atol=1e-6)
+
+
+def test_padding_rays():
+    """Ray counts that don't fill a 1024-lane tile are padded and
+    sliced back."""
+    scene = build_scene("cornell_box")
+    cam = camera_for_scene("cornell_box", aspect_ratio=1.0)
+    n = 100
+    pid = jnp.arange(n, dtype=jnp.int32)
+    sid = jnp.zeros(n, jnp.int32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.zeros(3)
+    r_pl = trace_paths_pallas(
+        scene, o, d, t, pid, sid, SEED, bg, 4, interpret=True
+    )
+    r_jnp = trace_paths(scene, o, d, t, pid, sid, SEED, bg, 4)
+    assert r_pl.shape == (n, 3)
+    np.testing.assert_allclose(
+        np.asarray(r_pl), np.asarray(r_jnp), rtol=1e-5, atol=1e-6
+    )
