@@ -8,6 +8,14 @@ Prints ONE JSON line:
 
 "rays" counts camera samples (primary rays), the standard denominator;
 each traces up to `depth` bounces of the wavefront.
+
+Timing protocol (remote-TPU runtime quirks, see
+rtweekend_tpu/ops/pallas/megakernel.py): `block_until_ready` can return
+before execution completes on this backend, and the first device->host
+read flips the session into synchronous dispatch. So: warm up (compile
++ execute), force completion with a scalar fetch, then time a full
+render ending in its own scalar fetch — a conservative, honestly
+blocking measurement.
 """
 
 import json
@@ -18,12 +26,13 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 
 WIDTH, HEIGHT = 1200, 675
 SPP_MEASURE = 20          # measured sample count; rays/s extrapolates
 MAX_DEPTH = 50
+RAYS_PER_CHUNK = 1 << 22  # 5-spp wavefronts: best measured chunking
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
@@ -39,18 +48,21 @@ def main():
     kwargs = dict(
         width=WIDTH, height=HEIGHT, samples_per_pixel=SPP_MEASURE,
         max_depth=MAX_DEPTH, background=background, seed=42,
-        rays_per_chunk=1 << 22,
+        rays_per_chunk=RAYS_PER_CHUNK,
     )
 
-    # warmup / compile
-    render(scene, camera, samples_per_pixel=1, width=WIDTH, height=HEIGHT,
-           max_depth=MAX_DEPTH, background=background, seed=42,
-           rays_per_chunk=1 << 22).block_until_ready()
+    # warmup: compiles every executable at the measured shapes; the
+    # scalar fetch forces completion (and drops the session into
+    # synchronous dispatch, which is the honest mode to time).
+    warm = render(scene, camera, **kwargs)
+    wsum = float(jnp.sum(warm))
+    assert np.isfinite(wsum), "warmup produced non-finite radiance"
 
     t0 = time.perf_counter()
     accum = render(scene, camera, **kwargs)
-    accum.block_until_ready()
+    total = float(jnp.sum(accum))  # forces real completion
     dt = time.perf_counter() - t0
+    assert np.isfinite(total), "render produced non-finite radiance"
 
     n_rays = WIDTH * HEIGHT * SPP_MEASURE
     rays_per_s = n_rays / dt

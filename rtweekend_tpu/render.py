@@ -58,6 +58,66 @@ def default_use_pallas(scene: Scene, dtype) -> bool:
 
 
 @functools.partial(
+    jax.jit, static_argnames=("width", "height", "n_samples")
+)
+def _gen_batch_rays(camera, seed, sample_start, *, width, height, n_samples):
+    n_pix = width * height
+    pixel_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), n_samples)
+    sample_ids = sample_start + jnp.tile(
+        jnp.arange(n_samples, dtype=jnp.int32), n_pix
+    )
+    o, d, t = generate_rays(camera, width, height, pixel_ids, sample_ids, seed)
+    return o, d, t, pixel_ids, sample_ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_samples"),
+    donate_argnames=("accum",),
+)
+def _accum_batch(accum, radiance, *, width, height, n_samples):
+    n_pix = width * height
+    sums = jnp.sum(radiance.reshape(n_pix, n_samples, 3), axis=1)
+    return accum + sums.reshape(height, width, 3)[::-1]
+
+
+def _capacities_for(background):
+    """Pick the wavefront-compaction capacity schedule from the
+    background: a lit background means rays can escape and die fast
+    (open scenes); a black background here means an enclosed emissive
+    scene where most rays stay alive (Cornell). `background` must be a
+    host value (tuple/list/ndarray) — a device array is never inspected
+    (a D2H read would wreck the remote-TPU dispatch fast path)."""
+    from rtweekend_tpu.ops.pallas.megakernel import CAPS_CLOSED, CAPS_OPEN
+
+    if isinstance(background, jax.Array):
+        return CAPS_CLOSED  # conservative: cannot inspect without D2H
+    return CAPS_OPEN if float(np.max(background)) > 0.0 else CAPS_CLOSED
+
+
+def render_batch_compact(
+    scene, camera, background, seed, sample_start, accum,
+    *, width, height, n_samples, max_depth, capacities,
+):
+    """Pallas path with wavefront compaction (see
+    ops/pallas/megakernel.py). Host control flow between kernel
+    segments, so this lives outside jit; each stage is jitted."""
+    from rtweekend_tpu.ops.pallas.megakernel import trace_paths_pallas_compact
+
+    o, d, t, pixel_ids, sample_ids = _gen_batch_rays(
+        camera, seed, sample_start,
+        width=width, height=height, n_samples=n_samples,
+    )
+    radiance = trace_paths_pallas_compact(
+        scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth,
+        capacities=capacities,
+    )
+    return _accum_batch(
+        accum, radiance, width=width, height=height, n_samples=n_samples
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("width", "height", "n_samples", "max_depth", "use_pallas"),
     donate_argnames=("accum",),
@@ -116,6 +176,7 @@ def render(
 ):
     """Full render; returns the radiance SUM framebuffer [H, W, 3]
     (divide by spp / tonemap downstream)."""
+    capacities = _capacities_for(background)
     background = jnp.asarray(background, dtype)
     seed = jnp.uint32(seed)
     if use_pallas is None:
@@ -131,19 +192,26 @@ def render(
     done = 0
     while done < samples_per_pixel:
         n = min(batch, samples_per_pixel - done)
-        accum = render_batch(
-            scene,
-            camera,
-            background,
-            seed,
-            jnp.int32(done),
-            accum,
-            width=width,
-            height=height,
-            n_samples=n,
-            max_depth=max_depth,
-            use_pallas=use_pallas,
-        )
+        if use_pallas:
+            accum = render_batch_compact(
+                scene, camera, background, seed, jnp.int32(done), accum,
+                width=width, height=height, n_samples=n, max_depth=max_depth,
+                capacities=capacities,
+            )
+        else:
+            accum = render_batch(
+                scene,
+                camera,
+                background,
+                seed,
+                jnp.int32(done),
+                accum,
+                width=width,
+                height=height,
+                n_samples=n,
+                max_depth=max_depth,
+                use_pallas=use_pallas,
+            )
         done += n
         if progress:
             print(f"\rsamples: {done}/{samples_per_pixel}   ", end="", flush=True)

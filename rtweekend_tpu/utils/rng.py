@@ -31,12 +31,19 @@ from rtweekend_tpu.utils import vecmath
 
 # Stream ids: camera raygen uses fixed high streams; bounce b uses
 # streams BOUNCE_STREAM0 + 2*b and +2*b+1.
-STREAM_CAMERA0 = jnp.uint32(0xC0FFEE00)
-STREAM_CAMERA1 = jnp.uint32(0xC0FFEE01)
+# Plain Python ints, NOT jnp scalars: a module-level device array
+# captured into a jit trace forces a device->host read of its value at
+# trace time, and on the remote-TPU runtime any D2H transfer
+# permanently degrades the session's dispatch fast path (measured:
+# ~0.1ms -> ~65ms per op afterwards). Keep every RNG stream id host-side.
+STREAM_CAMERA0 = 0xC0FFEE00
+STREAM_CAMERA1 = 0xC0FFEE01
 BOUNCE_STREAM0 = 0x10000
 
 
 def _u32(x):
+    if isinstance(x, int):  # python ints may exceed int32 (stream ids)
+        return jnp.uint32(x & 0xFFFFFFFF)
     return jnp.asarray(x).astype(jnp.uint32)
 
 

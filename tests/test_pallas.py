@@ -16,7 +16,11 @@ from rtweekend_tpu.models.scene import (
 )
 from rtweekend_tpu.ops.camera import generate_rays
 from rtweekend_tpu.ops.integrator import trace_paths
-from rtweekend_tpu.ops.pallas.megakernel import supports_scene, trace_paths_pallas
+from rtweekend_tpu.ops.pallas.megakernel import (
+    supports_scene,
+    trace_paths_pallas,
+    trace_paths_pallas_compact,
+)
 from rtweekend_tpu.render import camera_for_scene
 
 SEED = jnp.uint32(42)
@@ -83,6 +87,46 @@ def test_light_termination_parity():
     scene = b.build()
     r_jnp, r_pl = _parity(scene, "cornell_box", (0.1, 0.1, 0.2))
     np.testing.assert_allclose(r_pl, r_jnp, rtol=1e-5, atol=1e-6)
+
+
+def test_compact_driver_matches_single_kernel():
+    """The segmented + compacting driver is bitwise-equal to the single
+    50-bounce kernel call: RNG streams are keyed by (pixel, sample,
+    bounce) — independent of buffer position — and each ray's radiance
+    accumulates in the same order."""
+    scene = build_scene("final_scene")
+    cam = camera_for_scene("final_scene", aspect_ratio=16 / 9)
+    n = 2500  # non-tile-multiple: exercises padding + compaction fill
+    pid = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+    sid = jnp.arange(n, dtype=jnp.int32) // (32 * 32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.asarray((0.7, 0.8, 1.0), jnp.float32)
+    depth = 9
+    r_full = trace_paths_pallas(
+        scene, o, d, t, pid, sid, SEED, bg, depth, interpret=True
+    )
+    r_comp = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, depth, interpret=True,
+        capacities=((1, 0.9), (3, 0.5), (6, 0.3)),
+    )
+    np.testing.assert_array_equal(np.asarray(r_comp), np.asarray(r_full))
+
+
+def test_compact_overflow_poisons_output():
+    """An over-tight capacity must NaN the whole image, never silently
+    drop alive rays."""
+    scene = build_scene("cornell_box")  # enclosed: rays stay alive
+    cam = camera_for_scene("cornell_box", aspect_ratio=1.0)
+    n = 4096
+    pid = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+    sid = jnp.arange(n, dtype=jnp.int32) // (32 * 32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.zeros(3, jnp.float32)
+    r = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 6, interpret=True,
+        capacities=((2, 0.1),),  # 4096 alive rays into 1024 slots
+    )
+    assert np.isnan(np.asarray(r)).all()
 
 
 def test_padding_rays():
