@@ -83,10 +83,20 @@ def render_resumable(
     progress: bool = False,
 ):
     """Like render.render() but checkpointing every `checkpoint_every`
-    batches and resuming from `checkpoint_path` when compatible."""
-    import jax
+    batches and resuming from `checkpoint_path` when compatible.
 
-    from rtweekend_tpu.render import default_use_pallas, render_batch
+    Uses the SAME hot path as render.render() — the compacted Pallas
+    driver with end-of-run overflow recovery — so resumable renders pay
+    no throughput penalty. Overflow flags are additionally resolved just
+    before each checkpoint save (the save's D2H fetch syncs anyway), so
+    a saved checkpoint is never silently biased."""
+    from rtweekend_tpu.render import (
+        _capacities_for,
+        _recover_overflows,
+        default_use_pallas,
+        render_batch,
+        render_batch_compact,
+    )
 
     meta = _meta(scene_name, width, height, samples_per_pixel, max_depth, seed)
     state = load(checkpoint_path)
@@ -101,6 +111,7 @@ def render_resumable(
 
     if use_pallas is None:
         use_pallas = default_use_pallas(scene, jnp.float32)
+    capacities = _capacities_for(background)
     background = jnp.asarray(background, jnp.float32)
     seed_u = jnp.uint32(seed)
     n_pix = width * height
@@ -108,17 +119,35 @@ def render_resumable(
     while batch > 1 and samples_per_pixel % batch:
         batch -= 1
 
+    def recover(accum, overflows):
+        return _recover_overflows(
+            accum, overflows, scene, camera, background, seed_u,
+            width=width, height=height, max_depth=max_depth,
+            capacities=capacities,
+        )
+
     i = 0
+    overflows = []
     while done < samples_per_pixel:
         n = min(batch, samples_per_pixel - done)
-        accum = render_batch(
-            scene, camera, background, seed_u, jnp.int32(done), accum,
-            width=width, height=height, n_samples=n, max_depth=max_depth,
-            use_pallas=use_pallas,
-        )
+        if use_pallas:
+            accum, ovf = render_batch_compact(
+                scene, camera, background, seed_u, jnp.int32(done), accum,
+                width=width, height=height, n_samples=n, max_depth=max_depth,
+                capacities=capacities,
+            )
+            overflows.append((done, n, ovf))
+        else:
+            accum = render_batch(
+                scene, camera, background, seed_u, jnp.int32(done), accum,
+                width=width, height=height, n_samples=n, max_depth=max_depth,
+                use_pallas=use_pallas,
+            )
         done += n
         i += 1
         if i % checkpoint_every == 0 and done < samples_per_pixel:
+            accum = recover(accum, overflows)
+            overflows = []
             save(
                 checkpoint_path,
                 RenderState(np.asarray(accum), done, meta),
@@ -127,5 +156,6 @@ def render_resumable(
             print(f"\rsamples: {done}/{samples_per_pixel}   ", end="", flush=True)
     if progress:
         print()
+    accum = recover(accum, overflows)
     save(checkpoint_path, RenderState(np.asarray(accum), done, meta))
     return accum

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile-dir", default=None, metavar="DIR",
         help="capture a jax.profiler trace (perfetto) into DIR",
     )
+    p.add_argument(
+        "--metrics", default=None, metavar="PATH",
+        help="append structured JSON-lines render metrics to PATH",
+    )
     return p
 
 
@@ -50,6 +54,10 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        # Without x64 enabled, f64 arrays silently downcast to f32;
+        # parity mode must be bit-honest end to end.
+        jax.config.update("jax_enable_x64", True)
 
     defaults = SCENE_DEFAULTS[args.scene]
     cfg = RenderConfig(
@@ -78,6 +86,12 @@ def main(argv=None) -> int:
     if args.kernel != "auto":
         use_pallas = args.kernel == "pallas"
 
+    metrics = None
+    if args.metrics:
+        from rtweekend_tpu.utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(args.metrics)
+
     t0 = time.time()
     with profiling.trace(args.profile_dir):
         if args.checkpoint:
@@ -100,8 +114,24 @@ def main(argv=None) -> int:
             )
             img = np.asarray(image_mod.tonemap(accum, cfg.samples_per_pixel))
         else:
-            img, _ = render_image(cfg, progress=True, use_pallas=use_pallas)
+            img, accum = render_image(
+                cfg, progress=True, use_pallas=use_pallas, metrics=metrics
+            )
     dt = time.time() - t0
+    if metrics is not None:
+        metrics.close()
+
+    # Loud failure: a non-finite radiance sum must never tonemap into a
+    # silently black PNG. (This reads the buffer the PNG write fetches
+    # anyway, so it costs no extra device->host transfer.)
+    import numpy as _np
+
+    if not _np.isfinite(_np.asarray(accum)).all():
+        raise RuntimeError(
+            "render produced non-finite radiance (NaN/Inf) — this indicates "
+            "a kernel bug or an unrecovered wavefront-capacity overflow; "
+            "re-run with --kernel jnp to bisect"
+        )
 
     image_mod.write_png(cfg.output, img)
     if args.ppm:

@@ -32,7 +32,8 @@ from rtweekend_tpu.parallel.shard import extract_params, merge_params
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "max_depth")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "use_pallas"),
 )
 def render_mean(
     scene: Scene,
@@ -44,22 +45,33 @@ def render_mean(
     height: int,
     spp: int,
     max_depth: int,
+    use_pallas: bool = False,
 ):
     """Differentiable mean-radiance framebuffer [H, W, 3] (row 0 = top).
 
-    Uses the jnp integrator with per-bounce remat — the Pallas forward
-    kernel pairs with this as its custom-VJP backward (see
-    ops/pallas/vjp.py).
+    use_pallas=False: jnp integrator with per-bounce remat, fully
+    differentiable end to end. use_pallas=True: the Pallas megakernel
+    forward paired with the remat'd jnp backward through
+    ops/pallas/vjp.trace_paths_fast — the TPU fast path for both the
+    forward render and gradient steps.
     """
     n_pix = width * height
     pixel_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), spp)
     sample_ids = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
     seed = jnp.uint32(seed)
     o, d, t = generate_rays(camera, width, height, pixel_ids, sample_ids, seed)
-    rad = trace_paths(
-        scene, o, d, t, pixel_ids, sample_ids, seed,
-        jnp.asarray(background, o.dtype), max_depth, remat=True,
-    )
+    bg = jnp.asarray(background, o.dtype)
+    if use_pallas:
+        from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+
+        rad = trace_paths_fast(
+            scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth
+        )
+    else:
+        rad = trace_paths(
+            scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth,
+            remat=True,
+        )
     mean = jnp.mean(rad.reshape(n_pix, spp, 3), axis=1)
     return mean.reshape(height, width, 3)[::-1]
 
@@ -75,6 +87,7 @@ def make_loss(
     height: int,
     spp: int,
     max_depth: int,
+    use_pallas: bool = False,
 ) -> Callable[[Dict], jnp.ndarray]:
     """MSE(mean-radiance render, target) as a function of the
     differentiable parameter dict (see parallel.shard.extract_params)."""
@@ -85,6 +98,7 @@ def make_loss(
         img = render_mean(
             sc, camera, background, seed,
             width=width, height=height, spp=spp, max_depth=max_depth,
+            use_pallas=use_pallas,
         )
         return jnp.mean((img - target) ** 2)
 
@@ -106,6 +120,7 @@ def fit(
     seed: int = 0,
     param_mask: Optional[Dict[str, bool]] = None,
     verbose: bool = False,
+    use_pallas: bool = False,
 ) -> Tuple[Scene, list]:
     """Inverse rendering (BASELINE.json config 5): recover scene
     parameters from a target image by Adam descent through the tracer.
@@ -130,6 +145,7 @@ def fit(
         loss_fn = make_loss(
             scene, camera, target, background, step_seed,
             width=width, height=height, spp=spp, max_depth=max_depth,
+            use_pallas=use_pallas,
         )
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = {k: jnp.where(mask[k], g, 0.0) for k, g in grads.items()}

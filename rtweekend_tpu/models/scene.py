@@ -170,6 +170,14 @@ class Scene:
     images: jax.Array       # uint8
     image_h: jax.Array      # [n_img] int32
     image_w: jax.Array      # [n_img] int32
+    # Kernel-layout image data: every image flattened row-major at its
+    # TRUE width, RGBA packed into one int32 (r | g<<8 | b<<16 | a<<24),
+    # all images concatenated and reshaped to [C, 128] — the Pallas
+    # megakernel gathers texels from 128-lane rows (Mosaic supports
+    # dynamic lane gathers only). image_base is each image's first texel
+    # offset into the flat array.
+    images_packed: jax.Array  # [C, 128] int32
+    image_base: jax.Array     # [n_img] int32
     # --- static metadata (part of the treedef; retraces per scene shape) ---
     n_spheres: int = 0
     n_rects: int = 0
@@ -291,6 +299,10 @@ class SceneBuilder:
     def material(self, desc: MaterialDesc) -> int:
         if desc in self._mat_index:
             return self._mat_index[desc]
+        if isinstance(desc, Metal) and not 0.0 <= desc.fuzz <= 1.0:
+            # the reference asserts fuzz <= 1 (material.zig:60); validate
+            # at build time rather than silently accepting garbage
+            raise ValueError(f"metal fuzz must be in [0, 1], got {desc.fuzz}")
         # Auto-register referenced textures (the reference shares textures
         # through heap pointers; here sharing is index dedup).
         if isinstance(desc, Diffuse):
@@ -489,6 +501,28 @@ class SceneBuilder:
             ih = np.ones(1, dtype=np.int32)
             iw = np.ones(1, dtype=np.int32)
 
+        # Kernel-layout packed image planes (see Scene.images_packed).
+        flats = []
+        base = np.zeros(max(1, len(self._images)), dtype=np.int32)
+        off = 0
+        for idx, im in enumerate(self._images):
+            u32 = im.astype(np.uint32)
+            packed = (
+                u32[..., 0]
+                | (u32[..., 1] << 8)
+                | (u32[..., 2] << 16)
+                | (u32[..., 3] << 24)
+            ).reshape(-1)
+            base[idx] = off
+            off += packed.size
+            flats.append(packed)
+        flat = (
+            np.concatenate(flats) if flats else np.zeros(1, dtype=np.uint32)
+        )
+        pad = (-flat.size) % 128
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint32)])
+        images_packed = flat.view(np.int32).reshape(-1, 128)
+
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         grad, px, py, pz = perlin_mod.make_tables(self.perlin_seed, np_dtype)
 
@@ -504,6 +538,8 @@ class SceneBuilder:
             images=jnp.asarray(atlas),
             image_h=jnp.asarray(ih),
             image_w=jnp.asarray(iw),
+            images_packed=jnp.asarray(images_packed),
+            image_base=jnp.asarray(base),
             n_spheres=ns,
             n_rects=nr,
             has_checker=any(isinstance(t, Checker) for t in tex_descs),

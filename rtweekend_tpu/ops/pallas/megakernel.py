@@ -41,10 +41,25 @@ Design (see SURVEY.md §7):
   by (pixel, sample, bounce), independent of buffer position.
 
 Coverage: spheres (incl. motion), rects (incl. baked rotate/translate),
-all four materials, solid + checker textures. Scenes using Perlin-noise
-or image textures (they need table gathers, which do not map to the
-lane-oriented design) fall back to the jnp integrator — see
-supports_scene().
+all four materials, and ALL four texture families — every scene runs
+the TPU fast path:
+- solid / checker: denormalized per-primitive colors (SMEM scalars).
+- Perlin noise (reference src/rtw/perlin.zig:47-91): the 256-entry
+  permutation + gradient tables live in VMEM as (2, 128) half-rows;
+  each lookup is two 128-lane dynamic gathers (`take_along_axis` along
+  lanes — the one gather Mosaic supports) plus a select on bit 7. The
+  full 7-octave turbulence runs in-register, mirroring utils/perlin.py
+  op for op.
+- image (reference src/rtw/texture.zig:107-145): texels are packed
+  RGBA int32 in [C, 128] VMEM rows (Scene.images_packed); a bounded
+  fori_loop walks only the [min, max] chunk range the tile actually
+  needs (rays in a tile are spatially coherent, so the range is small)
+  and mask-accumulates one lane-gather per chunk. Sphere UV needs
+  atan2/acos, which Mosaic lacks — implemented as Cephes-style
+  polynomials (~1e-7 rad, see _atan2/_acos).
+Noise/image code is compiled only into kernels for scenes that use it
+(static has_noise/has_image specialization), and skipped per tile at
+run time via lax.cond when no live lane needs it.
 """
 
 from __future__ import annotations
@@ -63,6 +78,8 @@ from rtweekend_tpu.models.scene import (
     MAT_METAL,
     Scene,
     TEX_CHECKER,
+    TEX_IMAGE,
+    TEX_NOISE,
 )
 from rtweekend_tpu.ops.intersect import BIG, T_MIN
 from rtweekend_tpu.utils.rng import BOUNCE_STREAM0
@@ -71,33 +88,36 @@ TILE = 1024  # rays per program: (8, 128)
 _NEAR_ZERO = 1e-8
 
 # Packed SMEM table rows (see _pack_scene).
-# Spheres: geometry 9 + material 7 float rows, 2 int rows.
+# Spheres: geometry 9 + material 9 float rows, 5 int rows.
 _SF_C0X, _SF_C0Y, _SF_C0Z, _SF_DCX, _SF_DCY, _SF_DCZ, _SF_T0, _SF_IDT, \
     _SF_RAD, _SF_FUZZ, _SF_IOR, _SF_CR, _SF_CG, _SF_CB, _SF_C2R, _SF_C2G, \
-    _SF_C2B = range(17)
-_SI_MTYPE, _SI_TTYPE = range(2)
-# Rects: geometry 20 + material 7 float rows, 2 int rows.
+    _SF_C2B, _SF_TSCALE = range(18)
+_SI_MTYPE, _SI_TTYPE, _SI_IMGW, _SI_IMGH, _SI_IMGBASE = range(5)
+# Rects: geometry 20 + material 9 float rows, 5 int rows.
 _RF_WNX, _RF_WNY, _RF_WNZ, _RF_BN, _RF_WAX, _RF_WAY, _RF_WAZ, _RF_BA, \
     _RF_WBX, _RF_WBY, _RF_WBZ, _RF_BB, _RF_K, _RF_A0, _RF_A1, _RF_B0, \
     _RF_B1, _RF_NX, _RF_NY, _RF_NZ, _RF_FUZZ, _RF_IOR, _RF_CR, _RF_CG, \
-    _RF_CB, _RF_C2R, _RF_C2G, _RF_C2B = range(28)
-_RI_MTYPE, _RI_TTYPE = range(2)
+    _RF_CB, _RF_C2R, _RF_C2G, _RF_C2B, _RF_TSCALE = range(29)
+_RI_MTYPE, _RI_TTYPE, _RI_IMGW, _RI_IMGH, _RI_IMGBASE = range(5)
 
 
 def supports_scene(scene: Scene) -> bool:
-    """Kernel-eligible: no Perlin-noise and no image textures."""
-    return not (scene.has_noise or scene.has_image)
+    """All texture families are kernel-native since round 2; every
+    scene runs the TPU fast path."""
+    return True
 
 
 def _pack_scene(scene: Scene):
     """Denormalize materials/textures onto primitives and pack into
-    [rows, P] SMEM tables. Sharing-by-index (the reference's Rc-shared
-    materials) becomes plain duplication of a few scalars per primitive."""
+    [rows, P] SMEM tables, plus the VMEM-layout Perlin/image tables.
+    Sharing-by-index (the reference's Rc-shared materials) becomes plain
+    duplication of a few scalars per primitive."""
     sp, rc = scene.spheres, scene.rects
     mats, tex = scene.materials, scene.textures
 
     def mat_rows(mat_id):
         tid = mats.tex_id[mat_id]
+        img = tex.image_id[tid]
         return (
             [
                 mats.fuzz[mat_id],
@@ -108,8 +128,15 @@ def _pack_scene(scene: Scene):
                 tex.color2[tid, 0],
                 tex.color2[tid, 1],
                 tex.color2[tid, 2],
+                tex.scale[tid],
             ],
-            [mats.mtype[mat_id], tex.ttype[tid]],
+            [
+                mats.mtype[mat_id],
+                tex.ttype[tid],
+                scene.image_w[img],
+                scene.image_h[img],
+                scene.image_base[img],
+            ],
         )
 
     s_mf, s_mi = mat_rows(sp.mat_id)
@@ -122,7 +149,7 @@ def _pack_scene(scene: Scene):
             sp.dc[:, 0], sp.dc[:, 1], sp.dc[:, 2],
             sp.time0, sp.inv_dt, radius,
         ]
-        + s_mf[:1] + s_mf[1:2] + s_mf[2:]
+        + s_mf
     )
     sph_i = jnp.stack(s_mi).astype(jnp.int32)
 
@@ -139,7 +166,29 @@ def _pack_scene(scene: Scene):
         + r_mf
     )
     rect_i = jnp.stack(r_mi).astype(jnp.int32)
-    return sph_f, sph_i, rect_f, rect_i
+
+    # Perlin tables as (lo, hi) 128-lane half-rows for the in-kernel
+    # 2-gather LUT; padded to the (8, 128) int32/f32 min tile.
+    zi = jnp.zeros(128, jnp.int32)
+    perm = jnp.stack(
+        [
+            scene.perlin_px[:128], scene.perlin_px[128:],
+            scene.perlin_py[:128], scene.perlin_py[128:],
+            scene.perlin_pz[:128], scene.perlin_pz[128:],
+            zi, zi,
+        ]
+    ).astype(jnp.int32)
+    g = scene.perlin_grad.astype(jnp.float32)
+    zf = jnp.zeros(128, jnp.float32)
+    grad = jnp.stack(
+        [
+            g[:128, 0], g[128:, 0],
+            g[:128, 1], g[128:, 1],
+            g[:128, 2], g[128:, 2],
+            zf, zf,
+        ]
+    )
+    return sph_f, sph_i, rect_f, rect_i, perm, grad, scene.images_packed
 
 
 def _pcg4d(a, b, c, d):
@@ -191,14 +240,63 @@ def _gauss4(u0, u1, u2, u3):
     )
 
 
-def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
+def _atan2(y, x):
+    """atan2 for Mosaic (no atan/atan2 primitive): octant reduction to
+    t in [0, 1] + the Cephes atanf polynomial (max err ~1e-7 rad)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    t = num / den  # [0, 1]
+    # second Cephes reduction: t > tan(pi/8) -> (t-1)/(t+1), + pi/4
+    med = t > 0.4142135623730950
+    t = jnp.where(med, (t - 1.0) / (t + 1.0), t)
+    z = t * t
+    p = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1)
+        * z
+        - 3.33329491539e-1
+    ) * z * t + t
+    p = jnp.where(med, 0.25 * jnp.pi + p, p)
+    p = jnp.where(swap, 0.5 * jnp.pi - p, p)
+    p = jnp.where(x < 0.0, jnp.pi - p, p)
+    return jnp.where(y < 0.0, -p, p)
+
+
+def _acos(c):
+    """acos via atan2(sqrt(1-c^2), c); caller clamps |c| < 1."""
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)), c)
+
+
+def _lut256(lo_row, hi_row, idx):
+    """256-entry table lookup: Mosaic only gathers dynamically along the
+    128 lanes, so the table is two broadcast (8, 128) half-rows; bit 7
+    of the index selects the half."""
+    lo = jnp.take_along_axis(lo_row, idx & 127, axis=1)
+    hi = jnp.take_along_axis(hi_row, idx & 127, axis=1)
+    return jnp.where(idx >= 128, hi, lo)
+
+
+def _make_kernel(
+    n_spheres: int,
+    n_rects: int,
+    n_bounces: int,
+    t_min: float,
+    has_noise: bool = False,
+    has_image: bool = False,
+    n_chunks: int = 1,
+):
     """Build the kernel body with static primitive counts and segment
     length. Bounce indices run b0..b0+n_bounces (b0 from SMEM), so RNG
-    streams continue correctly across segments."""
+    streams continue correctly across segments. has_noise/has_image
+    statically compile in the Perlin/image texture paths (and their
+    extra winner-attribute registers) only for scenes that use them."""
 
     def kernel(
-        sph_f_ref, sph_i_ref, rect_f_ref, rect_i_ref, seed_ref, bg_ref,
-        b0_ref,
+        sph_f_ref, sph_i_ref, rect_f_ref, rect_i_ref,
+        perm_ref, grad_ref, img_ref,
+        seed_ref, bg_ref, b0_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
         pid_ref, sid_ref, tr_ref, tg_ref, tb_ref, al_ref,
         rr_ref, rg_ref, rb_ref,
@@ -214,6 +312,74 @@ def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
         time = tm_ref[0]
         pix_u = pltpu.bitcast(pid_ref[0], jnp.uint32)
         smp_u = pltpu.bitcast(sid_ref[0], jnp.uint32)
+
+        if has_noise:
+            # broadcast the Perlin half-rows once per kernel invocation
+            shp = (8, 128)
+            px_lo = jnp.broadcast_to(perm_ref[0:1, :], shp)
+            px_hi = jnp.broadcast_to(perm_ref[1:2, :], shp)
+            py_lo = jnp.broadcast_to(perm_ref[2:3, :], shp)
+            py_hi = jnp.broadcast_to(perm_ref[3:4, :], shp)
+            pz_lo = jnp.broadcast_to(perm_ref[4:5, :], shp)
+            pz_hi = jnp.broadcast_to(perm_ref[5:6, :], shp)
+            gx_lo = jnp.broadcast_to(grad_ref[0:1, :], shp)
+            gx_hi = jnp.broadcast_to(grad_ref[1:2, :], shp)
+            gy_lo = jnp.broadcast_to(grad_ref[2:3, :], shp)
+            gy_hi = jnp.broadcast_to(grad_ref[3:4, :], shp)
+            gz_lo = jnp.broadcast_to(grad_ref[4:5, :], shp)
+            gz_hi = jnp.broadcast_to(grad_ref[5:6, :], shp)
+
+            def perlin_noise(qx, qy, qz):
+                """utils/perlin.noise (reference perlin.zig:47-78),
+                op-for-op: Hermite-smoothed trilinear interpolation of
+                gradient dots over the 8 lattice corners."""
+                fx = jnp.floor(qx)
+                fy = jnp.floor(qy)
+                fz = jnp.floor(qz)
+                ux, uy, uz = qx - fx, qy - fy, qz - fz
+                ix0 = fx.astype(jnp.int32)
+                iy0 = fy.astype(jnp.int32)
+                iz0 = fz.astype(jnp.int32)
+                sx = ux * ux * (3.0 - 2.0 * ux)
+                sy = uy * uy * (3.0 - 2.0 * uy)
+                sz = uz * uz * (3.0 - 2.0 * uz)
+                accum = jnp.zeros_like(qx)
+                for di in range(2):
+                    for dj in range(2):
+                        for dk in range(2):
+                            ix = (ix0 + di) & 255
+                            iy = (iy0 + dj) & 255
+                            iz = (iz0 + dk) & 255
+                            gi = (
+                                _lut256(px_lo, px_hi, ix)
+                                ^ _lut256(py_lo, py_hi, iy)
+                                ^ _lut256(pz_lo, pz_hi, iz)
+                            )
+                            cx = _lut256(gx_lo, gx_hi, gi)
+                            cy = _lut256(gy_lo, gy_hi, gi)
+                            cz = _lut256(gz_lo, gz_hi, gi)
+                            wx = ux - di
+                            wy = uy - dj
+                            wz = uz - dk
+                            w = (
+                                (di * sx + (1 - di) * (1.0 - sx))
+                                * (dj * sy + (1 - dj) * (1.0 - sy))
+                                * (dk * sz + (1 - dk) * (1.0 - sz))
+                            )
+                            accum = accum + w * (
+                                cx * wx + cy * wy + cz * wz
+                            )
+                return accum
+
+            def perlin_turb(qx, qy, qz, depth=7):
+                """utils/perlin.turb (reference perlin.zig:80-91)."""
+                accum = jnp.zeros_like(qx)
+                weight = 1.0
+                for _ in range(depth):
+                    accum = accum + weight * perlin_noise(qx, qy, qz)
+                    weight *= 0.5
+                    qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
+                return jnp.abs(accum)
 
         def intersect_all(ox, oy, oz, dx, dy, dz):
             """Closest hit over all primitives for the ray tile.
@@ -232,6 +398,13 @@ def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
                 cr=zeros, cg=zeros, cb=zeros, c2r=zeros, c2g=zeros,
                 c2b=zeros,
             )
+            if has_noise:
+                st["tscale"] = zeros
+            if has_image:
+                # surface uv (rects set it in-loop; sphere uv is derived
+                # post-loop from the carried center) + image geometry
+                st.update(u=zeros, v=zeros, iw=izeros + 1, ih=izeros + 1,
+                          ibase=izeros)
             keys = tuple(st.keys())
 
             a = dx * dx + dy * dy + dz * dz
@@ -285,6 +458,18 @@ def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
                     c2g=sph_f_ref[_SF_C2G, i] + 0 * t_c,
                     c2b=sph_f_ref[_SF_C2B, i] + 0 * t_c,
                 )
+                if has_noise:
+                    new["tscale"] = sph_f_ref[_SF_TSCALE, i] + 0 * t_c
+                if has_image:
+                    # placeholder uv; the true sphere uv (atan2/acos) is
+                    # computed once per bounce from the winner's center
+                    new["u"] = 0.0 * t_c
+                    new["v"] = 0.0 * t_c
+                    new["iw"] = sph_i_ref[_SI_IMGW, i] + 0 * st["mtype"]
+                    new["ih"] = sph_i_ref[_SI_IMGH, i] + 0 * st["mtype"]
+                    new["ibase"] = (
+                        sph_i_ref[_SI_IMGBASE, i] + 0 * st["mtype"]
+                    )
                 out = {
                     k: jnp.where(closer, new[k], st[k]) for k in keys
                 }
@@ -341,6 +526,22 @@ def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
                     c2g=rect_f_ref[_RF_C2G, i] + 0 * t_c,
                     c2b=rect_f_ref[_RF_C2B, i] + 0 * t_c,
                 )
+                if has_noise:
+                    new["tscale"] = rect_f_ref[_RF_TSCALE, i] + 0 * t_c
+                if has_image:
+                    # in-plane uv (reference XyRect.hit &c.,
+                    # hittable.zig:287-289): (hit - lo) / (hi - lo)
+                    a0 = rect_f_ref[_RF_A0, i]
+                    b0 = rect_f_ref[_RF_B0, i]
+                    inv_da = 1.0 / (rect_f_ref[_RF_A1, i] - a0)
+                    inv_db = 1.0 / (rect_f_ref[_RF_B1, i] - b0)
+                    new["u"] = (a_hit - a0) * inv_da
+                    new["v"] = (b_hit - b0) * inv_db
+                    new["iw"] = rect_i_ref[_RI_IMGW, i] + 0 * st["mtype"]
+                    new["ih"] = rect_i_ref[_RI_IMGH, i] + 0 * st["mtype"]
+                    new["ibase"] = (
+                        rect_i_ref[_RI_IMGBASE, i] + 0 * st["mtype"]
+                    )
                 out = {
                     k: jnp.where(closer, new[k], st[k]) for k in keys
                 }
@@ -399,13 +600,113 @@ def _make_kernel(n_spheres: int, n_rects: int, n_bounces: int, t_min: float):
             # to ~1e-10 instead of 0 — immaterial for a fuzz radius.
             crad = jnp.exp(jnp.log(jnp.maximum(ub0, 1e-30)) * (1.0 / 3.0))
 
-            # ---- texture value at hit (solid / checker) ----
+            # ---- texture value at hit ----
             sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
             odd = sines < 0.0
             is_check = h["ttype"] == TEX_CHECKER
             tex_r = jnp.where(is_check & odd, h["c2r"], h["cr"])
             tex_g = jnp.where(is_check & odd, h["c2g"], h["cg"])
             tex_b = jnp.where(is_check & odd, h["c2b"], h["cb"])
+            live_hit = alive & hit
+
+            if has_noise:
+                # 0.5*(1+sin(scale*z + 10*turb)) (texture.zig:100-104);
+                # skipped for the whole tile when no live lane needs it.
+                is_noise = h["ttype"] == TEX_NOISE
+                need_n = live_hit & is_noise
+
+                def noise_gray():
+                    turbv = perlin_turb(px, py, pz)
+                    return 0.5 * (
+                        1.0 + jnp.sin(h["tscale"] * pz + 10.0 * turbv)
+                    )
+
+                gray = jax.lax.cond(
+                    jnp.max(jnp.where(need_n, 1.0, 0.0)) > 0.5,
+                    noise_gray,
+                    lambda: jnp.zeros_like(px),
+                )
+                tex_r = jnp.where(is_noise, gray, tex_r)
+                tex_g = jnp.where(is_noise, gray, tex_g)
+                tex_b = jnp.where(is_noise, gray, tex_b)
+
+            if has_image:
+                is_img = h["ttype"] == TEX_IMAGE
+                need_i = live_hit & is_img
+
+                def image_rgb():
+                    # sphere uv (getSphereUv, hittable.zig:145-150) from
+                    # the pre-flip outward normal; pole guard matches
+                    # ops/intersect.py:169-177
+                    at_pole = (jnp.abs(onz) + jnp.abs(onx)) < 1e-12
+                    phi = _atan2(
+                        -jnp.where(at_pole, 0.0, onz),
+                        jnp.where(at_pole, 1.0, onx),
+                    ) + jnp.pi
+                    theta = _acos(
+                        jnp.clip(-ony, -1.0 + 1e-7, 1.0 - 1e-7)
+                    )
+                    uu = jnp.where(is_s, phi * (0.5 / jnp.pi), h["u"])
+                    vv = jnp.where(is_s, theta * (1.0 / jnp.pi), h["v"])
+                    # nearest-neighbor texel (texture.zig:120-137 with
+                    # the j-clamp bugfix; mirrors ops/textures.py:58-75)
+                    iw_f = h["iw"].astype(jnp.float32)
+                    ih_f = h["ih"].astype(jnp.float32)
+                    uc = jnp.clip(uu, 0.0, 1.0)
+                    vc = 1.0 - jnp.clip(vv, 0.0, 1.0)
+                    ti = jnp.minimum(
+                        (uc * iw_f).astype(jnp.int32), h["iw"] - 1
+                    )
+                    tj = jnp.minimum(
+                        (vc * ih_f).astype(jnp.int32), h["ih"] - 1
+                    )
+                    flat = h["ibase"] + tj * h["iw"] + ti
+                    chunk = flat >> 7
+                    lo = flat & 127
+                    # rays in a tile are spatially coherent: walk only
+                    # the chunk range this tile touches
+                    c_lo = jnp.clip(
+                        jnp.min(
+                            jnp.where(need_i, chunk, jnp.int32(n_chunks))
+                        ),
+                        0, n_chunks - 1,
+                    )
+                    c_hi = jnp.clip(
+                        jnp.max(jnp.where(need_i, chunk, -1)),
+                        0, n_chunks - 1,
+                    )
+
+                    def chunk_body(c, acc):
+                        row = jnp.broadcast_to(
+                            img_ref[pl.ds(c, 1), :], (8, 128)
+                        )
+                        g = jnp.take_along_axis(row, lo, axis=1)
+                        return acc + jnp.where(chunk == c, g, 0)
+
+                    packed = jax.lax.fori_loop(
+                        c_lo, c_hi + 1, chunk_body, jnp.zeros_like(chunk)
+                    )
+                    inv = 1.0 / 255.0
+                    pr = (packed & 255).astype(jnp.float32) * inv
+                    pg = ((packed >> 8) & 255).astype(jnp.float32) * inv
+                    pb = ((packed >> 16) & 255).astype(jnp.float32) * inv
+                    pa = (packed >> 24) & 255
+                    # alpha==0 -> ocean blue (texture.zig:138-140)
+                    zero_a = pa == 0
+                    pr = jnp.where(zero_a, 0.0, pr)
+                    pg = jnp.where(zero_a, 0.0, pg)
+                    pb = jnp.where(zero_a, 1.0, pb)
+                    return pr, pg, pb
+
+                zr = jnp.zeros_like(px)
+                img_r, img_g, img_b = jax.lax.cond(
+                    jnp.max(jnp.where(need_i, 1.0, 0.0)) > 0.5,
+                    image_rgb,
+                    lambda: (zr, zr, zr),
+                )
+                tex_r = jnp.where(is_img, img_r, tex_r)
+                tex_g = jnp.where(is_img, img_g, tex_g)
+                tex_b = jnp.where(is_img, img_b, tex_b)
 
             # ---- diffuse (material.zig:41-53) ----
             ddx = nx + uvx
@@ -547,12 +848,13 @@ _STATE_FIELDS = (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bounces", "t_min", "interpret"),
+    static_argnames=("n_bounces", "t_min", "has_noise", "has_image",
+                     "interpret"),
 )
 def _trace_segment(
-    tables,         # (sph_f, sph_i, rect_f, rect_i) from _pack_scene —
-                    # passed pre-packed so each call carries 4 buffers,
-                    # not the ~25-leaf Scene pytree (per-buffer dispatch
+    tables,         # 7-tuple from _pack_scene —
+                    # passed pre-packed so each call carries 7 buffers,
+                    # not the ~30-leaf Scene pytree (per-buffer dispatch
                     # overhead is material on the remote-TPU runtime)
     state,          # dict of flat [M] arrays, M % TILE == 0
     seed,
@@ -560,6 +862,8 @@ def _trace_segment(
     b0,             # int32 scalar: global bounce index of segment start
     n_bounces: int,
     t_min: float = T_MIN,
+    has_noise: bool = False,
+    has_image: bool = False,
     interpret: bool = False,
 ):
     """Run one n_bounces kernel segment; returns (radiance [M,3], new
@@ -571,7 +875,7 @@ def _trace_segment(
     def tiled(x):
         return x.reshape(grid, 8, 128)
 
-    sph_f, sph_i, rect_f, rect_i = tables
+    sph_f, sph_i, rect_f, rect_i, perm, grad, images = tables
     background = jnp.asarray(background, jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
     b0_arr = jnp.asarray(b0, jnp.int32).reshape(1)
@@ -585,20 +889,28 @@ def _trace_segment(
         for _ in range(13)
     ]
 
+    n_chunks = int(images.shape[0])
     kernel = _make_kernel(
-        int(sph_f.shape[1]), int(rect_f.shape[1]), n_bounces, t_min
+        int(sph_f.shape[1]), int(rect_f.shape[1]), n_bounces, t_min,
+        has_noise, has_image, n_chunks,
     )
     n_prims = sph_f.shape[1] + rect_f.shape[1]
+    tex_flops = (3000 if has_noise else 0) + (300 if has_image else 0)
     cost = pl.CostEstimate(
-        flops=int(m) * n_bounces * (n_prims * 25 + 150),
+        flops=int(m) * n_bounces * (n_prims * 25 + 150 + tex_flops),
         bytes_accessed=int(m) * 26 * 4,
         transcendentals=int(m) * n_bounces * 12,
     )
 
+    table_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    )
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7 + ray_specs,
+        in_specs=table_specs + ray_specs,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)
@@ -607,7 +919,8 @@ def _trace_segment(
         cost_estimate=cost,
         interpret=interpret,
     )(
-        sph_f, sph_i, rect_f, rect_i, seed_arr, background, b0_arr,
+        sph_f, sph_i, rect_f, rect_i, perm, grad, images,
+        seed_arr, background, b0_arr,
         tiled(state["ox"]), tiled(state["oy"]), tiled(state["oz"]),
         tiled(state["dx"]), tiled(state["dy"]), tiled(state["dz"]),
         tiled(state["tm"]),
@@ -673,14 +986,15 @@ def trace_paths_pallas(
     state = _init_state(origins, dirs, times, pixel_ids, sample_ids)
     rad, _ = _trace_segment(
         _pack_scene(scene), state, seed, background, jnp.int32(0), max_depth,
-        t_min, interpret,
+        t_min, scene.has_noise, scene.has_image, interpret,
     )
     return rad[:n]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bounces", "out_cap", "t_min", "interpret"),
+    static_argnames=("n_bounces", "out_cap", "t_min", "has_noise",
+                     "has_image", "interpret"),
     donate_argnames=("total",),
 )
 def _segment_fused(
@@ -694,6 +1008,8 @@ def _segment_fused(
     n_bounces: int,
     out_cap: int,   # compacted buffer size; == cap to skip compaction
     t_min: float = T_MIN,
+    has_noise: bool = False,
+    has_image: bool = False,
     interpret: bool = False,
 ):
     """One fused executable per segment: (optional) compaction + kernel
@@ -720,7 +1036,8 @@ def _segment_fused(
     ray_id = state["ray_id"]
     rad, st = _trace_segment(
         tables, {k: state[k] for k in _STATE_FIELDS},
-        seed, background, b0, n_bounces, t_min, interpret,
+        seed, background, b0, n_bounces, t_min, has_noise, has_image,
+        interpret,
     )
     # dead/padding lanes produced rad == 0 inside the kernel
     total = total.at[ray_id].add(rad, mode="drop")
@@ -763,20 +1080,30 @@ def trace_paths_pallas_compact(
     t_min: float = T_MIN,
     interpret: bool = False,
     capacities=CAPS_OPEN,
+    return_overflow: bool = False,
 ):
     """Wavefront tracer with static-schedule compaction (see module
     docstring). Host control flow between jitted segment calls, but NO
     device->host reads — safe for the remote-TPU dispatch fast path.
     Semantically identical to trace_paths_pallas (same RNG streams,
-    same per-ray accumulation order); returns radiance [N, 3], all-NaN
-    iff a capacity overflowed (never a silently biased image)."""
+    same per-ray accumulation order).
+
+    Returns radiance [N, 3], all-NaN iff a capacity overflowed (never a
+    silently biased image). With return_overflow=True, returns
+    (radiance, overflow_flag) UN-poisoned instead, so the caller can
+    recover by re-tracing the batch uncompacted (see render.render)."""
     n = origins.shape[0]
     state = _init_state(origins, dirs, times, pixel_ids, sample_ids)
     state["ray_id"] = jnp.arange(state["ox"].shape[0], dtype=jnp.int32)
     total = jnp.zeros((n, 3), jnp.float32)
     tables = jax.jit(_pack_scene)(scene)
 
-    caps = [(b, _tiles(int(f * n))) for b, f in capacities if 0 < b < max_depth]
+    # Sort + dedupe the schedule: a capacity is only a *shrink* point, so
+    # an unsorted user schedule would otherwise skip boundaries silently.
+    caps = sorted(
+        {b: _tiles(int(f * n)) for b, f in capacities if 0 < b < max_depth}
+        .items()
+    )
     boundaries = [b for b, _ in caps] + [max_depth]
     cap_at = dict(caps)
 
@@ -789,9 +1116,12 @@ def trace_paths_pallas_compact(
         out_cap = min(cap, cap_at.get(b, cap))
         total, state, count_dev, ovf = _segment_fused(
             tables, state, total, seed, background, jnp.int32(b), count_dev,
-            nxt - b, out_cap, t_min, interpret,
+            nxt - b, out_cap, t_min, scene.has_noise, scene.has_image,
+            interpret,
         )
         overflow = overflow | ovf
         cap = out_cap
         b = nxt
+    if return_overflow:
+        return total, overflow
     return jnp.where(overflow, jnp.float32(jnp.nan), total)

@@ -11,6 +11,7 @@ device; the tone map (main.zig:395-400) is applied once at the end.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -46,15 +47,10 @@ def _trace_dispatch(scene, o, d, t, pixel_ids, sample_ids, seed, background,
 
 
 def default_use_pallas(scene: Scene, dtype) -> bool:
-    """The Pallas megakernel runs on TPU for f32 scenes without
-    noise/image textures (see ops/pallas/megakernel.py)."""
-    from rtweekend_tpu.ops.pallas.megakernel import supports_scene
-
-    return (
-        jax.default_backend() == "tpu"
-        and jnp.dtype(dtype) == jnp.float32
-        and supports_scene(scene)
-    )
+    """The Pallas megakernel runs every f32 scene on TPU — all four
+    texture families are kernel-native (see ops/pallas/megakernel.py)."""
+    del scene  # every scene is supported since round 2
+    return jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
 
 
 @functools.partial(
@@ -101,20 +97,26 @@ def render_batch_compact(
 ):
     """Pallas path with wavefront compaction (see
     ops/pallas/megakernel.py). Host control flow between kernel
-    segments, so this lives outside jit; each stage is jitted."""
+    segments, so this lives outside jit; each stage is jitted.
+
+    Returns (accum + batch contribution, overflow flag). The flag is a
+    DEVICE scalar — never synced here, so the dispatch fast path is
+    preserved; the driver syncs all flags once at end of render and
+    re-traces any overflowed batch uncompacted (see render())."""
     from rtweekend_tpu.ops.pallas.megakernel import trace_paths_pallas_compact
 
     o, d, t, pixel_ids, sample_ids = _gen_batch_rays(
         camera, seed, sample_start,
         width=width, height=height, n_samples=n_samples,
     )
-    radiance = trace_paths_pallas_compact(
+    radiance, overflow = trace_paths_pallas_compact(
         scene, o, d, t, pixel_ids, sample_ids, seed, background, max_depth,
-        capacities=capacities,
+        capacities=capacities, return_overflow=True,
     )
-    return _accum_batch(
+    accum = _accum_batch(
         accum, radiance, width=width, height=height, n_samples=n_samples
     )
+    return accum, overflow
 
 
 @functools.partial(
@@ -173,10 +175,21 @@ def render(
     dtype=jnp.float32,
     progress: bool = False,
     use_pallas: Optional[bool] = None,
+    capacities=None,
+    metrics=None,
 ):
     """Full render; returns the radiance SUM framebuffer [H, W, 3]
-    (divide by spp / tonemap downstream)."""
-    capacities = _capacities_for(background)
+    (divide by spp / tonemap downstream).
+
+    capacities overrides the wavefront-compaction schedule (sequence of
+    (bounce, fraction); () disables compaction); default is picked from
+    the background (see _capacities_for). An overflowing schedule is
+    recovered, not fatal (see _recover_overflows).
+
+    metrics: optional utils.metrics.MetricsLogger — emits structured
+    render_start / batch_submitted / render_done events."""
+    if capacities is None:
+        capacities = _capacities_for(background)
     background = jnp.asarray(background, dtype)
     seed = jnp.uint32(seed)
     if use_pallas is None:
@@ -188,16 +201,26 @@ def render(
     while batch > 1 and samples_per_pixel % batch:
         batch -= 1
 
+    if metrics is not None:
+        metrics.log(
+            "render_start", width=width, height=height,
+            spp=samples_per_pixel, max_depth=max_depth, batch=batch,
+            use_pallas=bool(use_pallas), n_devices=jax.device_count(),
+            backend=jax.default_backend(),
+        )
+    t_start = time.perf_counter()
     accum = jnp.zeros((height, width, 3), dtype)
     done = 0
+    overflows = []  # [(sample_start, n_samples, device flag)]
     while done < samples_per_pixel:
         n = min(batch, samples_per_pixel - done)
         if use_pallas:
-            accum = render_batch_compact(
+            accum, ovf = render_batch_compact(
                 scene, camera, background, seed, jnp.int32(done), accum,
                 width=width, height=height, n_samples=n, max_depth=max_depth,
                 capacities=capacities,
             )
+            overflows.append((done, n, ovf))
         else:
             accum = render_batch(
                 scene,
@@ -213,10 +236,66 @@ def render(
                 use_pallas=use_pallas,
             )
         done += n
+        if metrics is not None:
+            metrics.log("batch_submitted", samples_done=done,
+                        spp=samples_per_pixel)
         if progress:
             print(f"\rsamples: {done}/{samples_per_pixel}   ", end="", flush=True)
     if progress:
         print()
+    accum = _recover_overflows(
+        accum, overflows, scene, camera, background, seed,
+        width=width, height=height, max_depth=max_depth,
+        capacities=capacities,
+    )
+    if metrics is not None:
+        accum.block_until_ready()
+        wall = time.perf_counter() - t_start
+        n_rays = width * height * samples_per_pixel
+        metrics.log(
+            "render_done", wall_s=round(wall, 4),
+            rays_per_s=round(n_rays / wall),
+            rays_per_s_per_device=round(n_rays / wall / jax.device_count()),
+            spp=samples_per_pixel,
+        )
+    return accum
+
+
+def _recover_overflows(
+    accum, overflows, scene, camera, background, seed,
+    *, width, height, max_depth, capacities,
+):
+    """Re-trace any batch whose compaction capacity overflowed.
+
+    Overflow recovery replaces the round-1 NaN-poisoning: the capacity
+    schedule (CAPS_*) carries >=2x margins but is statically tuned, so a
+    pathological scene can exceed it. The flags are synced ONCE here (at
+    end of render, where the framebuffer D2H fetch happens anyway); for
+    each overflowed batch the compacted (ray-dropping) contribution is
+    subtracted — it is deterministic, counter-keyed RNG — and the batch
+    is re-traced with the uncompacted kernel, which never drops rays."""
+    if not overflows:
+        return accum
+    flags = np.asarray(jnp.stack([f for _, _, f in overflows]))
+    if not flags.any():
+        return accum
+    for (start, n, _), bad in zip(overflows, flags):
+        if not bad:
+            continue
+        # fresh zero buffers per call: the accumulators are donated
+        wrong, _ = render_batch_compact(
+            scene, camera, background, seed, jnp.int32(start),
+            jnp.zeros(accum.shape, accum.dtype),
+            width=width, height=height, n_samples=n, max_depth=max_depth,
+            capacities=capacities,
+        )
+        good = render_batch(
+            scene, camera, background, seed, jnp.int32(start),
+            jnp.zeros(accum.shape, accum.dtype),
+            width=width, height=height, n_samples=n, max_depth=max_depth,
+            use_pallas=True,
+        )
+        accum = accum - wrong + good
     return accum
 
 
@@ -242,7 +321,8 @@ def camera_for_scene(name: str, dtype=jnp.float32, aspect_ratio=None) -> Camera:
 
 
 def render_image(
-    config: RenderConfig, progress: bool = False, use_pallas: Optional[bool] = None
+    config: RenderConfig, progress: bool = False,
+    use_pallas: Optional[bool] = None, metrics=None,
 ):
     """End-to-end: build scene + camera from config, render, tone map.
 
@@ -266,6 +346,7 @@ def render_image(
         dtype=dtype,
         progress=progress,
         use_pallas=use_pallas,
+        metrics=metrics,
     )
     img = image_mod.tonemap(accum, config.samples_per_pixel)
     return np.asarray(img), accum

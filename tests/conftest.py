@@ -25,3 +25,30 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--bless",
+        action="store_true",
+        default=False,
+        help="(re)write golden files instead of comparing against them",
+    )
+
+
+@pytest.fixture
+def bless(request):
+    return request.config.getoption("--bless")
+
+
+@pytest.fixture
+def debug_nans():
+    """NaN sanitizer mode (SURVEY.md §5): any NaN produced under jit
+    inside the fixture scope raises immediately instead of propagating."""
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)

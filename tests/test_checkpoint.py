@@ -80,3 +80,28 @@ def test_stale_checkpoint_restarts(tmp_path):
         render(scene, cam, W, H, SPP, DEPTH, bg, 42, rays_per_chunk=W * H * 2)
     )
     np.testing.assert_allclose(out, full, rtol=1e-6, atol=1e-6)
+
+
+def test_resumable_pallas_compact_path(tmp_path):
+    """The resumable driver uses the SAME compacted Pallas hot path as
+    render() (round-1 drift: it silently used the slow kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scene = build_scene("two_spheres")
+    cam = camera_for_scene("two_spheres", aspect_ratio=1.0)
+    bg = (0.7, 0.8, 1.0)
+    p = str(tmp_path / "r.ckpt")
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(
+            render(
+                scene, cam, W, H, SPP, DEPTH, bg, 42,
+                rays_per_chunk=W * H * 2, use_pallas=True,
+            )
+        )
+        resumed = np.asarray(
+            checkpoint.render_resumable(
+                scene, cam, "two_spheres", W, H, SPP, DEPTH, bg, 42, p,
+                rays_per_chunk=W * H * 2, use_pallas=True,
+            )
+        )
+    np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-6)

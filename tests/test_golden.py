@@ -2,9 +2,10 @@
 
 The reference's only verification artifact is its committed render
 (SURVEY.md §4). Here: every scene renders a tiny fixed-seed image; the
-radiance framebuffer is compared against a stored golden. Goldens are
-auto-generated on first run (commit them); delete tests/goldens/*.npy
-to intentionally re-baseline after an algorithm change.
+radiance framebuffer is compared against a stored golden. A missing
+golden FAILS — re-baseline intentionally with `pytest --bless` after an
+algorithm change (auto-creation would silently re-baseline if a golden
+were deleted alongside a regression).
 """
 
 import os
@@ -32,15 +33,18 @@ def _render(name):
 
 
 @pytest.mark.parametrize("name", sorted(SCENE_DEFAULTS))
-def test_scene_golden(name):
+def test_scene_golden(name, bless):
     fb = _render(name)
     assert np.isfinite(fb).all()
     assert fb.min() >= 0.0
     path = os.path.join(GOLDEN_DIR, f"{name}_{W}x{H}_{SPP}spp_{DEPTH}d.npy")
-    if not os.path.exists(path):
+    if bless or not os.path.exists(path):
+        assert bless, (
+            f"golden missing: {path} — run `pytest --bless` to create it"
+        )
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.save(path, fb)
-        pytest.skip(f"golden created: {path}")
+        pytest.skip(f"golden blessed: {path}")
     want = np.load(path)
     np.testing.assert_allclose(fb, want, rtol=1e-4, atol=1e-4)
 

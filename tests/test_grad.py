@@ -159,3 +159,66 @@ def test_inverse_render_recovers_albedo():
     assert history[-1] < history[0] * 0.2, history[::10]
     got = np.asarray(fitted.textures.color[tid])
     np.testing.assert_allclose(got, [0.6, 0.25, 0.45], atol=0.08)
+
+
+def test_pallas_vjp_matches_jnp_grad():
+    """trace_paths_fast (Pallas forward + remat'd jnp backward,
+    ops/pallas/vjp.py): its gradient must equal jax.grad of the jnp
+    integrator — the backward IS the jnp VJP — and its forward value
+    must be the Pallas kernel's (interpret mode on CPU)."""
+    from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, b.material(Diffuse(albedo=Solid((0.5, 0.3, 0.2)))))
+    scene = b.build()
+    o, d, t, pid, sid = _interior_rays(n=256)
+    bg = jnp.array([1.0, 1.0, 1.0])
+    depth = 4
+    params = extract_params(scene)
+
+    def f_fast(params):
+        sc = merge_params(scene, params)
+        return jnp.mean(
+            trace_paths_fast(sc, o, d, t, pid, sid, SEED, bg, depth,
+                             1e-3, True)
+        )
+
+    def f_jnp(params):
+        sc = merge_params(scene, params)
+        return jnp.mean(
+            trace_paths(sc, o, d, t, pid, sid, SEED, bg, depth, remat=True)
+        )
+
+    v_fast, g_fast = jax.value_and_grad(f_fast)(params)
+    v_jnp, g_jnp = jax.value_and_grad(f_jnp)(params)
+    # forward: pallas kernel value (different quadratic formulation ->
+    # tiny f32 drift vs jnp)
+    np.testing.assert_allclose(float(v_fast), float(v_jnp), rtol=1e-4)
+    # backward: identical functions -> identical grads
+    for k in g_jnp:
+        np.testing.assert_allclose(
+            np.asarray(g_fast[k]), np.asarray(g_jnp[k]), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_render_mean_use_pallas(monkeypatch):
+    """render_mean(use_pallas=True) runs end to end and matches the jnp
+    version closely (fast forward, same backward)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, b.material(Diffuse(albedo=Solid((0.5, 0.3, 0.2)))))
+    scene = b.build()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        img_fast = render_mean(
+            scene, cam, (1.0, 1.0, 1.0), SEED,
+            width=8, height=8, spp=2, max_depth=3, use_pallas=True,
+        )
+    img_jnp = render_mean(
+        scene, cam, (1.0, 1.0, 1.0), SEED,
+        width=8, height=8, spp=2, max_depth=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_fast), np.asarray(img_jnp), rtol=1e-4, atol=1e-5
+    )

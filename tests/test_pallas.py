@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from rtweekend_tpu.config import SCENE_DEFAULTS
 from rtweekend_tpu.models.builders import build_scene
 from rtweekend_tpu.models.scene import (
     Dielectric,
@@ -71,11 +72,35 @@ def test_final_scene_parity():
     np.testing.assert_allclose(r_pl.mean(axis=0), r_jnp.mean(axis=0), rtol=0.02)
 
 
-def test_unsupported_scene_flags():
-    assert not supports_scene(build_scene("two_perlin_spheres"))
-    assert not supports_scene(build_scene("earth"))
-    assert not supports_scene(build_scene("simple_light"))  # noise tex
+def test_all_scenes_supported():
+    """Round 2: every texture family is kernel-native, so every scene
+    runs the fast path."""
+    assert supports_scene(build_scene("two_perlin_spheres"))
+    assert supports_scene(build_scene("earth"))
+    assert supports_scene(build_scene("simple_light"))
     assert supports_scene(build_scene("two_spheres"))
+
+
+@pytest.mark.parametrize(
+    "name", ["two_perlin_spheres", "earth", "simple_light"]
+)
+def test_texture_scene_parity(name):
+    """Perlin-noise and image-texture scenes: kernel vs jnp integrator.
+
+    The Perlin path is gather-for-gather identical so it should agree
+    elementwise; the image path computes sphere uv with polynomial
+    atan2/acos (~1e-7 rad vs XLA's), which can flip a nearest-neighbor
+    texel on a boundary — parity there is elementwise for nearly all
+    lanes plus statistical overall (same bar as final_scene)."""
+    scene = build_scene(name)
+    bg = SCENE_DEFAULTS[name]["background"]
+    r_jnp, r_pl = _parity(scene, name, bg, depth=6)
+    assert np.isfinite(r_pl).all()
+    diff = np.abs(r_pl - r_jnp)
+    assert (diff > 1e-3).mean() < 0.03, f"diverged: {(diff > 1e-3).mean()}"
+    np.testing.assert_allclose(
+        r_pl.mean(axis=0), r_jnp.mean(axis=0), rtol=0.02, atol=5e-3
+    )
 
 
 def test_light_termination_parity():
@@ -127,6 +152,93 @@ def test_compact_overflow_poisons_output():
         capacities=((2, 0.1),),  # 4096 alive rays into 1024 slots
     )
     assert np.isnan(np.asarray(r)).all()
+
+
+def test_compact_overflow_flag_unpoisoned():
+    """return_overflow=True reports the overflow WITHOUT poisoning, so a
+    driver can recover by re-tracing; without overflow the flag is
+    clear and the radiance matches the poisoning variant's."""
+    scene = build_scene("cornell_box")
+    cam = camera_for_scene("cornell_box", aspect_ratio=1.0)
+    n = 4096
+    pid = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+    sid = jnp.arange(n, dtype=jnp.int32) // (32 * 32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.zeros(3, jnp.float32)
+    r, ovf = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 6, interpret=True,
+        capacities=((2, 0.1),), return_overflow=True,
+    )
+    assert bool(ovf)
+    assert np.isfinite(np.asarray(r)).all()
+    r2, ovf2 = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 6, interpret=True,
+        capacities=((2, 0.9),), return_overflow=True,
+    )
+    assert not bool(ovf2)
+    r2_poison_variant = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 6, interpret=True,
+        capacities=((2, 0.9),),
+    )
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r2_poison_variant))
+
+
+def test_unsorted_capacity_schedule():
+    """An unsorted/duplicated schedule must behave as its sorted dedupe
+    (round-1 bug: first-in-list-order boundary pick skipped shrinks)."""
+    scene = build_scene("final_scene")
+    cam = camera_for_scene("final_scene", aspect_ratio=16 / 9)
+    n = 2048
+    pid = jnp.arange(n, dtype=jnp.int32) % (32 * 32)
+    sid = jnp.arange(n, dtype=jnp.int32) // (32 * 32)
+    o, d, t = generate_rays(cam, 32, 32, pid, sid, SEED)
+    bg = jnp.asarray((0.7, 0.8, 1.0), jnp.float32)
+    kw = dict(interpret=True, return_overflow=True)
+    r_sorted, _ = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 8,
+        capacities=((2, 0.8), (5, 0.5)), **kw,
+    )
+    r_unsorted, _ = trace_paths_pallas_compact(
+        scene, o, d, t, pid, sid, SEED, bg, 8,
+        capacities=((5, 0.5), (2, 0.8), (5, 0.5)), **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(r_unsorted), np.asarray(r_sorted))
+
+
+def test_render_overflow_recovery(monkeypatch):
+    """End-to-end: a render whose compaction capacity overflows must
+    produce the same framebuffer as the uncompacted kernel — recovery
+    re-traces the overflowed batch instead of NaN-poisoning (round-1
+    behavior) or silently dropping rays."""
+    import sys
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import rtweekend_tpu.render  # noqa: F401
+
+    render_mod = sys.modules["rtweekend_tpu.render"]
+
+    scene = build_scene("cornell_box")
+    cam = camera_for_scene("cornell_box", aspect_ratio=1.0)
+    bg = (0.0, 0.0, 0.0)
+    w = h = 16
+    spp, depth = 4, 6
+    monkeypatch.setattr(
+        render_mod, "_capacities_for", lambda bg_: ((2, 0.1),)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        fb = render_mod.render(
+            scene, cam, w, h, spp, depth, bg, 42, use_pallas=True
+        )
+        want = render_mod.render_batch(
+            scene, cam, jnp.asarray(bg, jnp.float32), jnp.uint32(42),
+            jnp.int32(0), jnp.zeros((h, w, 3), jnp.float32),
+            width=w, height=h, n_samples=spp, max_depth=depth,
+            use_pallas=True,
+        )
+    fb, want = np.asarray(fb), np.asarray(want)
+    assert np.isfinite(fb).all()
+    np.testing.assert_allclose(fb, want, rtol=1e-5, atol=1e-6)
 
 
 def test_padding_rays():
