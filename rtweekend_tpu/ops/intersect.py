@@ -8,10 +8,12 @@ Identical semantics (t_min = 0.001 epsilon, nearest root selection) with
 no data-dependent control flow — XLA sees only matmuls, elementwise VPU
 work, and a min-reduction.
 
-TPU-first formulation: all per-(ray, primitive) dot products are
-expressed as [N,3] @ [3,M] matmuls against precomputed per-primitive
-row vectors (sphere centers / rect affine rows), so no [N, M, 3]
-temporary is ever materialized.
+The candidate-t math lives in ops/coeffs.py as a feature-vector ×
+coefficient-row dot product shared verbatim with the Pallas megakernel
+(ops/pallas/megakernel.py): one [N, NF] @ [NF, P] matmul per primitive
+family plus the shared `quadratic_t` / `rect_t` epilogues. The two
+paths therefore run the same formulas on the same coefficient tables —
+parity between them is structural, not statistical.
 """
 
 from __future__ import annotations
@@ -22,11 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from rtweekend_tpu.models.scene import Scene
+from rtweekend_tpu.ops import coeffs
+from rtweekend_tpu.ops.coeffs import BIG
 from rtweekend_tpu.utils import vecmath
 
-# Sentinel for "no hit". Finite (not inf) so masked lanes never breed
-# NaNs in downstream arithmetic; far beyond any real scene t.
-BIG = 1e30
 T_MIN = 1e-3  # reference src/main.zig:109
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -57,77 +58,32 @@ def sphere_candidate_ts(scene: Scene, o, d, time, t_min):
     """Candidate hit t for every (ray, sphere): [N, S].
 
     The quadratic of reference Sphere.hit / MovingSphere.hit
-    (hittable.zig:96-116, :165-185) with the moving center
-    c(t) = c0 + dc*(t - time0)*inv_dt (hittable.zig:219-221), rearranged
-    so every ray-sphere coupling term is a matmul:
-        oc.d   = o.d - (c0.d + s * dc.d)
-        |oc|^2 = |o|^2 - 2(o.c0 + s * o.dc) + |c0|^2 + 2 s c0.dc + s^2 |dc|^2
+    (hittable.zig:96-116, :165-185) via the shared coefficient rows
+    (ops/coeffs.py): half_b and c_coef are feature-vector dot products.
     """
-    sp = scene.spheres
-    s_t = (time[:, None] - sp.time0[None, :]) * sp.inv_dt[None, :]  # [N, S]
-
-    d_c0 = _mm(d, sp.c0.T)      # [N, S]
-    d_dc = _mm(d, sp.dc.T)
-    o_c0 = _mm(o, sp.c0.T)
-    o_dc = _mm(o, sp.dc.T)
-
-    o_d = vecmath.dot(o, d)[:, None]        # [N, 1]
-    a = vecmath.norm_squared(d)[:, None]    # [N, 1]
-    o_o = vecmath.norm_squared(o)[:, None]
-
-    c0_c0 = vecmath.norm_squared(sp.c0)[None, :]   # [1, S]
-    c0_dc = vecmath.dot(sp.c0, sp.dc)[None, :]
-    dc_dc = vecmath.norm_squared(sp.dc)[None, :]
-    r2 = (sp.radius * sp.radius)[None, :]
-
-    half_b = o_d - (d_c0 + s_t * d_dc)
-    c_c = c0_c0 + 2.0 * s_t * c0_dc + s_t * s_t * dc_dc
-    c_coef = o_o - 2.0 * (o_c0 + s_t * o_dc) + c_c - r2
-
-    disc = half_b * half_b - a * c_coef
-    ok = disc > 0.0
-    sqrtd = jnp.sqrt(jnp.where(ok, disc, 1.0))  # grad-safe sqrt
+    feats = coeffs.ray_features(o, d, time)          # [N, NF]
+    a_hb, a_cc = coeffs.sphere_coeffs(scene)         # [S, NF] each
+    hb = _mm(feats, a_hb.T)                          # [N, S]
+    cc = _mm(feats, a_cc.T)
+    a = vecmath.norm_squared(d)[:, None]             # [N, 1]
     inv_a = 1.0 / a
-    root1 = (-half_b - sqrtd) * inv_a
-    root2 = (-half_b + sqrtd) * inv_a
-    # Nearest root in range, trying the near root first
-    # (hittable.zig:109-116); t_max is implicit in the final argmin.
-    r1_ok = ok & (root1 >= t_min)
-    r2_ok = ok & (root2 >= t_min)
-    t = jnp.where(r1_ok, root1, jnp.where(r2_ok, root2, BIG))
-    return jnp.where(sp.active[None, :], t, BIG)
+    return coeffs.quadratic_t(hb, cc, a, inv_a, t_min)
 
 
-def rect_candidate_ts(scene: Scene, o, d, t_min):
+def rect_candidate_ts(scene: Scene, o, d, time, t_min):
     """Candidate hit t for every (ray, rect): [N, R].
 
     Solves t = (k - o_n) / d_n in each rect's object frame
     (hittable.zig:279, :332, :385) with the instance transform baked into
-    affine projection rows (see models/scene.py). Bounds are inclusive,
-    matching `x < x0 or x > x1 -> reject`.
+    affine projection rows, via the shared folded coefficients
+    (ops/coeffs.py rect_coeffs / rect_t). Bounds are inclusive, matching
+    `x < x0 or x > x1 -> reject`.
     """
-    rc = scene.rects
-    on = _mm(o, rc.wn.T) + rc.bn[None, :]   # [N, R]
-    dn = _mm(d, rc.wn.T)
-    oa = _mm(o, rc.wa.T) + rc.ba[None, :]
-    da = _mm(d, rc.wa.T)
-    ob = _mm(o, rc.wb.T) + rc.bb[None, :]
-    db = _mm(d, rc.wb.T)
-
-    dn_ok = dn != 0.0
-    t = (rc.k[None, :] - on) / jnp.where(dn_ok, dn, 1.0)
-    a_hit = oa + t * da
-    b_hit = ob + t * db
-    ok = (
-        dn_ok
-        & (t >= t_min)
-        & (a_hit >= rc.a0[None, :])
-        & (a_hit <= rc.a1[None, :])
-        & (b_hit >= rc.b0[None, :])
-        & (b_hit <= rc.b1[None, :])
-        & rc.active[None, :]
+    feats = coeffs.ray_features(o, d, time)
+    kn, dn, ua, da, vb, db = (
+        _mm(feats, m.T) for m in coeffs.rect_coeffs(scene)
     )
-    return jnp.where(ok, t, BIG)
+    return coeffs.rect_t(kn, dn, ua, da, vb, db, t_min)
 
 
 def intersect(scene: Scene, o, d, time, t_min: float = T_MIN) -> Hit:
@@ -141,7 +97,7 @@ def intersect(scene: Scene, o, d, time, t_min: float = T_MIN) -> Hit:
     n_s = sp.radius.shape[0]
 
     ts = sphere_candidate_ts(scene, o, d, time, t_min)   # [N, S]
-    tr = rect_candidate_ts(scene, o, d, t_min)           # [N, R]
+    tr = rect_candidate_ts(scene, o, d, time, t_min)     # [N, R]
     t_all = jnp.concatenate([ts, tr], axis=1)
 
     idx = jnp.argmin(t_all, axis=1)                      # [N]
@@ -178,13 +134,11 @@ def intersect(scene: Scene, o, d, time, t_min: float = T_MIN) -> Hit:
     u_sph = phi / (2.0 * jnp.pi)
     v_sph = theta / jnp.pi
 
-    # Rect winner attributes.
-    wa_g, ba_g = rc.wa[ri], rc.ba[ri]
-    wb_g, bb_g = rc.wb[ri], rc.bb[ri]
-    a_obj = vecmath.dot(o, wa_g) + ba_g + t_eff * vecmath.dot(d, wa_g)
-    b_obj = vecmath.dot(o, wb_g) + bb_g + t_eff * vecmath.dot(d, wb_g)
-    u_rect = (a_obj - rc.a0[ri]) / (rc.a1[ri] - rc.a0[ri])
-    v_rect = (b_obj - rc.b0[ri]) / (rc.b1[ri] - rc.b0[ri])
+    # Rect winner attributes: uv from the hit POINT via the shared
+    # folded affine rows (same resolve as the kernel's gather pass).
+    ua_w, ua_c, vb_w, vb_c = coeffs.rect_uv_rows(scene)
+    u_rect = vecmath.dot(p, ua_w[ri]) + ua_c[ri]
+    v_rect = vecmath.dot(p, vb_w[ri]) + vb_c[ri]
     outward_rect = rc.normal[ri]
 
     outward = jnp.where(is_sphere[:, None], outward_sph, outward_rect)

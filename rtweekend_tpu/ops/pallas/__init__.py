@@ -1,6 +1,6 @@
 from rtweekend_tpu.ops.pallas.megakernel import (
-    supports_scene,
     trace_paths_pallas,
+    trace_paths_pallas_compact,
 )
 
-__all__ = ["supports_scene", "trace_paths_pallas"]
+__all__ = ["trace_paths_pallas", "trace_paths_pallas_compact"]

@@ -1,4 +1,4 @@
-"""Pallas TPU bounce megakernel.
+"""Pallas TPU bounce megakernel — MXU closest-hit edition.
 
 The whole per-ray path loop — intersect every primitive, pick the
 closest, scatter, accumulate radiance, for all `max_depth` bounces —
@@ -11,19 +11,29 @@ replaces the reference's recursive rayColor (reference src/main.zig:103-122).
 Design (see SURVEY.md §7):
 - Rays ride the VPU lanes: a tile is (8, 128) = 1024 rays, one program
   per tile on the grid.
-- Primitives are marched with a scalar loop: all per-primitive
-  parameters (geometry + DENORMALIZED material/texture constants) are
-  packed into small SMEM tables and read as scalars, broadcast against
-  the ray tile. No gathers anywhere — the closest-hit "record" is a set
-  of vector registers updated by `where(closer, new, old)` per
-  primitive, which is exactly the reference's closest-so-far scan
-  (hittable.zig:231-244) vectorized over 1024 rays.
+- The closest-hit march runs on the MXU. Every candidate hit quantity
+  is a dot product between a 17-wide per-ray FEATURE vector and a
+  static per-primitive COEFFICIENT row (ops/coeffs.py — shared verbatim
+  with the jnp path, so kernel↔jnp parity is structural): per bounce
+  and per sublane row of 128 rays, ONE [2S+6R, 128] @ [128, 128] f32
+  matmul produces half_b/c_coef for all spheres and the six folded
+  plane/bounds projections for all rects at once. A short VPU epilogue
+  (the shared quadratic_t / rect_t) turns them into candidate t's, and
+  a single min + index-min over the primitive (sublane) axis yields the
+  winner — the reference's closest-so-far scan (hittable.zig:231-244)
+  as one reduction. Ties pick the lowest index, matching the
+  reference's strict `t < closest_so_far` scan order.
+- The winner's ~25 attributes (geometry + DENORMALIZED material/texture
+  constants) are resolved ONCE per bounce by 128-lane dynamic gathers
+  from small VMEM tables indexed by the argmin — not carried through
+  the march. (Round 2 carried a 19-register select-updated winner state
+  through a scalar primitive loop: ~19 selects + ~20 scalar broadcasts
+  per primitive. The matmul formulation replaces all of it.)
 - RNG is the same PCG4D counter hash as the jnp path (utils/rng.py) at
   the same stream ids, so kernel output matches the jnp integrator to
   float reassociation.
 - Per-tile early exit: once every ray in the tile is dead, remaining
-  bounce iterations skip the primitive loops via lax.cond. Path tracing
-  kills most rays in a few bounces, so this is a large win at depth 50.
+  bounce iterations skip the march via lax.cond.
 - Segmented tracing + wavefront compaction
   (trace_paths_pallas_compact): measured on the final scene, the alive
   fraction collapses (83% -> 18% -> 1% by bounce 10) but ~90% of tiles
@@ -43,7 +53,7 @@ Design (see SURVEY.md §7):
 Coverage: spheres (incl. motion), rects (incl. baked rotate/translate),
 all four materials, and ALL four texture families — every scene runs
 the TPU fast path:
-- solid / checker: denormalized per-primitive colors (SMEM scalars).
+- solid / checker: denormalized per-primitive colors (gathered attrs).
 - Perlin noise (reference src/rtw/perlin.zig:47-91): the 256-entry
   permutation + gradient tables live in VMEM as (2, 128) half-rows;
   each lookup is two 128-lane dynamic gathers (`take_along_axis` along
@@ -73,47 +83,83 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rtweekend_tpu.models.scene import (
     MAT_DIELECTRIC,
-    MAT_DIFFUSE,
-    MAT_LIGHT,
     MAT_METAL,
+    MAT_LIGHT,
     Scene,
     TEX_CHECKER,
     TEX_IMAGE,
     TEX_NOISE,
 )
-from rtweekend_tpu.ops.intersect import BIG, T_MIN
+from rtweekend_tpu.ops import coeffs
+from rtweekend_tpu.ops.coeffs import BIG, NF
+from rtweekend_tpu.ops.intersect import T_MIN
 from rtweekend_tpu.utils.rng import BOUNCE_STREAM0
 
 TILE = 1024  # rays per program: (8, 128)
 _NEAR_ZERO = 1e-8
 
-# Packed SMEM table rows (see _pack_scene).
-# Spheres: geometry 9 + material 9 float rows, 5 int rows.
-_SF_C0X, _SF_C0Y, _SF_C0Z, _SF_DCX, _SF_DCY, _SF_DCZ, _SF_T0, _SF_IDT, \
-    _SF_RAD, _SF_FUZZ, _SF_IOR, _SF_CR, _SF_CG, _SF_CB, _SF_C2R, _SF_C2G, \
-    _SF_C2B, _SF_TSCALE = range(18)
-_SI_MTYPE, _SI_TTYPE, _SI_IMGW, _SI_IMGH, _SI_IMGBASE = range(5)
-# Rects: geometry 20 + material 9 float rows, 5 int rows.
-_RF_WNX, _RF_WNY, _RF_WNZ, _RF_BN, _RF_WAX, _RF_WAY, _RF_WAZ, _RF_BA, \
-    _RF_WBX, _RF_WBY, _RF_WBZ, _RF_BB, _RF_K, _RF_A0, _RF_A1, _RF_B0, \
-    _RF_B1, _RF_NX, _RF_NY, _RF_NZ, _RF_FUZZ, _RF_IOR, _RF_CR, _RF_CG, \
-    _RF_CB, _RF_C2R, _RF_C2G, _RF_C2B, _RF_TSCALE = range(29)
-_RI_MTYPE, _RI_TTYPE, _RI_IMGW, _RI_IMGH, _RI_IMGBASE = range(5)
-
-
-def supports_scene(scene: Scene) -> bool:
-    """All texture families are kernel-native since round 2; every
-    scene runs the TPU fast path."""
-    return True
+# Attribute-table row indices (see _pack_scene). Float rows:
+(
+    _AF_C0X, _AF_C0Y, _AF_C0Z,          # sphere center c0 (rects: 0)
+    _AF_DCX, _AF_DCY, _AF_DCZ,          # sphere center delta
+    _AF_T0, _AF_IDT,                    # motion time0 / 1/dt
+    _AF_INVR,                           # 1 / radius
+    _AF_NX, _AF_NY, _AF_NZ,             # rect world normal (spheres: 0)
+    _AF_FUZZ, _AF_IOR,
+    _AF_CR, _AF_CG, _AF_CB,             # texture color / checker even
+    _AF_C2R, _AF_C2G, _AF_C2B,          # checker odd
+    _AF_TSCALE,                         # noise scale
+    _AF_UWX, _AF_UWY, _AF_UWZ, _AF_UC,  # rect u(p) affine row
+    _AF_VWX, _AF_VWY, _AF_VWZ, _AF_VC,  # rect v(p) affine row
+) = range(29)
+_N_AF = 29
+# Int rows:
+_AI_MTYPE, _AI_TTYPE, _AI_IMGW, _AI_IMGH, _AI_IMGBASE = range(5)
+_N_AI = 5
 
 
 def _pack_scene(scene: Scene):
-    """Denormalize materials/textures onto primitives and pack into
-    [rows, P] SMEM tables, plus the VMEM-layout Perlin/image tables.
-    Sharing-by-index (the reference's Rc-shared materials) becomes plain
-    duplication of a few scalars per primitive."""
+    """Pack the scene for the kernel:
+
+    - coef [2S+6R, 128] f32: the shared coefficient rows (ops/coeffs.py)
+      — [hb(S); cc(S); kn(R); dn(R); ua(R); da(R); vb(R); db(R)], NF=17
+      feature columns zero-padded to the 128-lane MXU contraction.
+    - attr_f [29, C*128] f32 / attr_i [5, C*128] i32: per-primitive
+      winner attributes in global-primitive-index order (spheres then
+      rects), with materials/textures DENORMALIZED onto primitives
+      (the reference's Rc-shared materials become duplicated scalars).
+    - Perlin half-row tables and the packed image atlas (unchanged).
+    """
     sp, rc = scene.spheres, scene.rects
     mats, tex = scene.materials, scene.textures
+    s_pad = sp.radius.shape[0]
+    r_pad = rc.k.shape[0]
+    p = s_pad + r_pad
+    pc = -(-p // 128) * 128
+
+    a_hb, a_cc = coeffs.sphere_coeffs(scene)
+    rect6 = coeffs.rect_coeffs(scene)
+    coef = jnp.concatenate([a_hb, a_cc, *rect6], axis=0).astype(jnp.float32)
+    coef = jnp.pad(coef, ((0, 0), (0, 128 - NF)))
+
+    def cat(s_vals, r_vals):
+        v = jnp.concatenate(
+            [jnp.asarray(s_vals, jnp.float32), jnp.asarray(r_vals, jnp.float32)]
+        )
+        return jnp.pad(v, (0, pc - p))
+
+    def cat_i(s_vals, r_vals):
+        v = jnp.concatenate(
+            [jnp.asarray(s_vals, jnp.int32), jnp.asarray(r_vals, jnp.int32)]
+        )
+        return jnp.pad(v, (0, pc - p))
+
+    zs = jnp.zeros((s_pad,), jnp.float32)
+    zr = jnp.zeros((r_pad,), jnp.float32)
+    # padding spheres keep radius 1 (scene builder), so 1/r is finite;
+    # they can never win (all-zero coef rows -> t = BIG).
+    inv_r = 1.0 / sp.radius
+    ua_w, ua_c, vb_w, vb_c = coeffs.rect_uv_rows(scene)
 
     def mat_rows(mat_id):
         tid = mats.tex_id[mat_id]
@@ -140,32 +186,31 @@ def _pack_scene(scene: Scene):
         )
 
     s_mf, s_mi = mat_rows(sp.mat_id)
-    # inactive padding spheres get radius 0 -> guaranteed miss even if
-    # the quadratic is degenerate (disc = hb^2 - a*|oc|^2 <= 0).
-    radius = jnp.where(sp.active, sp.radius, 0.0)
-    sph_f = jnp.stack(
-        [
-            sp.c0[:, 0], sp.c0[:, 1], sp.c0[:, 2],
-            sp.dc[:, 0], sp.dc[:, 1], sp.dc[:, 2],
-            sp.time0, sp.inv_dt, radius,
-        ]
-        + s_mf
-    )
-    sph_i = jnp.stack(s_mi).astype(jnp.int32)
-
     r_mf, r_mi = mat_rows(rc.mat_id)
-    # inactive rects: degenerate bounds a0 > a1 already guarantee a miss
-    rect_f = jnp.stack(
+
+    attr_f = jnp.stack(
         [
-            rc.wn[:, 0], rc.wn[:, 1], rc.wn[:, 2], rc.bn,
-            rc.wa[:, 0], rc.wa[:, 1], rc.wa[:, 2], rc.ba,
-            rc.wb[:, 0], rc.wb[:, 1], rc.wb[:, 2], rc.bb,
-            rc.k, rc.a0, rc.a1, rc.b0, rc.b1,
-            rc.normal[:, 0], rc.normal[:, 1], rc.normal[:, 2],
+            cat(sp.c0[:, 0], zr), cat(sp.c0[:, 1], zr), cat(sp.c0[:, 2], zr),
+            cat(sp.dc[:, 0], zr), cat(sp.dc[:, 1], zr), cat(sp.dc[:, 2], zr),
+            cat(sp.time0, zr), cat(sp.inv_dt, jnp.ones_like(zr)),
+            cat(inv_r, zr),
+            cat(zs, rc.normal[:, 0]), cat(zs, rc.normal[:, 1]),
+            cat(zs, rc.normal[:, 2]),
+            cat(s_mf[0], r_mf[0]), cat(s_mf[1], r_mf[1]),
+            cat(s_mf[2], r_mf[2]), cat(s_mf[3], r_mf[3]),
+            cat(s_mf[4], r_mf[4]),
+            cat(s_mf[5], r_mf[5]), cat(s_mf[6], r_mf[6]),
+            cat(s_mf[7], r_mf[7]),
+            cat(s_mf[8], r_mf[8]),
+            cat(zs, ua_w[:, 0]), cat(zs, ua_w[:, 1]), cat(zs, ua_w[:, 2]),
+            cat(zs, ua_c),
+            cat(zs, vb_w[:, 0]), cat(zs, vb_w[:, 1]), cat(zs, vb_w[:, 2]),
+            cat(zs, vb_c),
         ]
-        + r_mf
     )
-    rect_i = jnp.stack(r_mi).astype(jnp.int32)
+    attr_i = jnp.stack(
+        [cat_i(a, b) for a, b in zip(s_mi, r_mi)]
+    )
 
     # Perlin tables as (lo, hi) 128-lane half-rows for the in-kernel
     # 2-gather LUT; padded to the (8, 128) int32/f32 min tile.
@@ -188,7 +233,7 @@ def _pack_scene(scene: Scene):
             zf, zf,
         ]
     )
-    return sph_f, sph_i, rect_f, rect_i, perm, grad, scene.images_packed
+    return coef, attr_f, attr_i, perm, grad, scene.images_packed
 
 
 def _pcg4d(a, b, c, d):
@@ -279,22 +324,26 @@ def _lut256(lo_row, hi_row, idx):
 
 
 def _make_kernel(
-    n_spheres: int,
-    n_rects: int,
+    s_pad: int,
+    r_pad: int,
     n_bounces: int,
     t_min: float,
     has_noise: bool = False,
     has_image: bool = False,
+    has_motion: bool = True,
     n_chunks: int = 1,
 ):
     """Build the kernel body with static primitive counts and segment
     length. Bounce indices run b0..b0+n_bounces (b0 from SMEM), so RNG
     streams continue correctly across segments. has_noise/has_image
-    statically compile in the Perlin/image texture paths (and their
-    extra winner-attribute registers) only for scenes that use them."""
+    statically compile in the Perlin/image texture paths only for
+    scenes that use them; has_motion=False skips the moving-center
+    gathers (4 rows) and the per-ray center lerp."""
+    n_prims = s_pad + r_pad
+    attr_chunks = -(-n_prims // 128)
 
     def kernel(
-        sph_f_ref, sph_i_ref, rect_f_ref, rect_i_ref,
+        coef_ref, af_ref, ai_ref,
         perm_ref, grad_ref, img_ref,
         seed_ref, bg_ref, b0_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
@@ -312,6 +361,28 @@ def _make_kernel(
         time = tm_ref[0]
         pix_u = pltpu.bitcast(pid_ref[0], jnp.uint32)
         smp_u = pltpu.bitcast(sid_ref[0], jnp.uint32)
+
+        def gather_f(row, chunk, lane):
+            """Winner-attribute gather: attr_f[row][idx] for the (8,128)
+            winner-index tile, as per-128-chunk lane gathers + selects."""
+            acc = None
+            for c in range(attr_chunks):
+                rowv = jnp.broadcast_to(
+                    af_ref[row:row + 1, c * 128:(c + 1) * 128], (8, 128)
+                )
+                v = jnp.take_along_axis(rowv, lane, axis=1)
+                acc = v if acc is None else jnp.where(chunk == c, v, acc)
+            return acc
+
+        def gather_i(row, chunk, lane):
+            acc = None
+            for c in range(attr_chunks):
+                rowv = jnp.broadcast_to(
+                    ai_ref[row:row + 1, c * 128:(c + 1) * 128], (8, 128)
+                )
+                v = jnp.take_along_axis(rowv, lane, axis=1)
+                acc = v if acc is None else jnp.where(chunk == c, v, acc)
+            return acc
 
         if has_noise:
             # broadcast the Perlin half-rows once per kernel invocation
@@ -382,175 +453,66 @@ def _make_kernel(
                 return jnp.abs(accum)
 
         def intersect_all(ox, oy, oz, dx, dy, dz):
-            """Closest hit over all primitives for the ray tile.
-
-            Returns (t_best, is_sphere, attr registers...) — the
-            vectorized closest-so-far scan."""
-            t_best = jnp.full_like(ox, BIG)
-            zeros = jnp.zeros_like(ox)
-            izeros = jnp.zeros_like(ox, dtype=jnp.int32)
-            # winner attrs: sphere center (at ray time) + inv radius;
-            # rect normal; material scalars.
-            st = dict(
-                t=t_best, is_sph=zeros, cx=zeros, cy=zeros, cz=zeros,
-                inv_r=zeros, nx=zeros, ny=zeros, nz=zeros + 1.0,
-                mtype=izeros, ttype=izeros, fuzz=zeros, ior=zeros + 1.0,
-                cr=zeros, cg=zeros, cb=zeros, c2r=zeros, c2g=zeros,
-                c2b=zeros,
-            )
-            if has_noise:
-                st["tscale"] = zeros
-            if has_image:
-                # surface uv (rects set it in-loop; sphere uv is derived
-                # post-loop from the carried center) + image geometry
-                st.update(u=zeros, v=zeros, iw=izeros + 1, ih=izeros + 1,
-                          ibase=izeros)
-            keys = tuple(st.keys())
-
+            """Closest hit over all primitives for the ray tile via the
+            MXU coefficient matmul (module docstring). Returns
+            (t_best (8,128), idx (8,128) int32) — attributes are
+            resolved by the caller's gather pass."""
+            o_d = ox * dx + oy * dy + oz * dz
+            o_o = ox * ox + oy * oy + oz * oz
             a = dx * dx + dy * dy + dz * dz
             inv_a = 1.0 / a
-            o_d = ox * dx + oy * dy + oz * dz
-
-            def sph_body(i, carry):
-                st = dict(zip(keys, carry))
-                c0x = sph_f_ref[_SF_C0X, i]
-                c0y = sph_f_ref[_SF_C0Y, i]
-                c0z = sph_f_ref[_SF_C0Z, i]
-                dcx = sph_f_ref[_SF_DCX, i]
-                dcy = sph_f_ref[_SF_DCY, i]
-                dcz = sph_f_ref[_SF_DCZ, i]
-                t0 = sph_f_ref[_SF_T0, i]
-                idt = sph_f_ref[_SF_IDT, i]
-                rad = sph_f_ref[_SF_RAD, i]
-                # center at each ray's shutter time (hittable.zig:219-221)
-                s_t = (time - t0) * idt
-                cx = c0x + s_t * dcx
-                cy = c0y + s_t * dcy
-                cz = c0z + s_t * dcz
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                half_b = ocx * dx + ocy * dy + ocz * dz
-                c_coef = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                disc = half_b * half_b - a * c_coef
-                ok = disc > 0.0
-                sqrtd = jnp.sqrt(jnp.where(ok, disc, 1.0))
-                root1 = (-half_b - sqrtd) * inv_a
-                root2 = (-half_b + sqrtd) * inv_a
-                t_c = jnp.where(
-                    ok & (root1 >= t_min), root1,
-                    jnp.where(ok & (root2 >= t_min), root2, BIG),
+            one = jnp.ones_like(ox)
+            # feature register order must match coeffs.ray_features
+            feats = [
+                dx, dy, dz,
+                time * dx, time * dy, time * dz,
+                o_d,
+                ox, oy, oz,
+                time * ox, time * oy, time * oz,
+                time, time * time, o_o,
+                one,
+            ]
+            fstack = jnp.stack(feats, axis=0)          # (NF, 8, 128)
+            coef = coef_ref[:]                          # (2S+6R, 128)
+            zpad = jnp.zeros((128 - NF, 128), jnp.float32)
+            s, r = s_pad, r_pad
+            t_rows, i_rows = [], []
+            for sub in range(8):
+                b = jnp.concatenate([fstack[:, sub, :], zpad], axis=0)
+                # HIGHEST precision: Mosaic's default f32 matmul runs
+                # reduced-precision bf16 passes on the MXU, whose
+                # candidate-t error (~1e-3 relative) visibly corrupts
+                # closest-hit decisions (measured: alive fraction at
+                # bounce 4 inflated 0.097 -> 0.23 on the final scene).
+                out = jnp.dot(
+                    coef, b,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
-                closer = t_c < st["t"]
-                new = dict(
-                    t=t_c, is_sph=jnp.ones_like(t_c), cx=cx + 0 * t_c,
-                    cy=cy + 0 * t_c, cz=cz + 0 * t_c,
-                    inv_r=1.0 / rad + 0 * t_c,
-                    nx=st["nx"], ny=st["ny"], nz=st["nz"],
-                    mtype=sph_i_ref[_SI_MTYPE, i] + 0 * st["mtype"],
-                    ttype=sph_i_ref[_SI_TTYPE, i] + 0 * st["ttype"],
-                    fuzz=sph_f_ref[_SF_FUZZ, i] + 0 * t_c,
-                    ior=sph_f_ref[_SF_IOR, i] + 0 * t_c,
-                    cr=sph_f_ref[_SF_CR, i] + 0 * t_c,
-                    cg=sph_f_ref[_SF_CG, i] + 0 * t_c,
-                    cb=sph_f_ref[_SF_CB, i] + 0 * t_c,
-                    c2r=sph_f_ref[_SF_C2R, i] + 0 * t_c,
-                    c2g=sph_f_ref[_SF_C2G, i] + 0 * t_c,
-                    c2b=sph_f_ref[_SF_C2B, i] + 0 * t_c,
+                a_s = a[sub:sub + 1, :]
+                ia_s = inv_a[sub:sub + 1, :]
+                t_sph = coeffs.quadratic_t(
+                    out[0:s], out[s:2 * s], a_s, ia_s, t_min
                 )
-                if has_noise:
-                    new["tscale"] = sph_f_ref[_SF_TSCALE, i] + 0 * t_c
-                if has_image:
-                    # placeholder uv; the true sphere uv (atan2/acos) is
-                    # computed once per bounce from the winner's center
-                    new["u"] = 0.0 * t_c
-                    new["v"] = 0.0 * t_c
-                    new["iw"] = sph_i_ref[_SI_IMGW, i] + 0 * st["mtype"]
-                    new["ih"] = sph_i_ref[_SI_IMGH, i] + 0 * st["mtype"]
-                    new["ibase"] = (
-                        sph_i_ref[_SI_IMGBASE, i] + 0 * st["mtype"]
-                    )
-                out = {
-                    k: jnp.where(closer, new[k], st[k]) for k in keys
-                }
-                return tuple(out[k] for k in keys)
-
-            def rect_body(i, carry):
-                st = dict(zip(keys, carry))
-                wnx = rect_f_ref[_RF_WNX, i]
-                wny = rect_f_ref[_RF_WNY, i]
-                wnz = rect_f_ref[_RF_WNZ, i]
-                bn = rect_f_ref[_RF_BN, i]
-                on = ox * wnx + oy * wny + oz * wnz + bn
-                dn = dx * wnx + dy * wny + dz * wnz
-                dn_ok = dn != 0.0
-                t_c = (rect_f_ref[_RF_K, i] - on) / jnp.where(dn_ok, dn, 1.0)
-                wax = rect_f_ref[_RF_WAX, i]
-                way = rect_f_ref[_RF_WAY, i]
-                waz = rect_f_ref[_RF_WAZ, i]
-                ba = rect_f_ref[_RF_BA, i]
-                wbx = rect_f_ref[_RF_WBX, i]
-                wby = rect_f_ref[_RF_WBY, i]
-                wbz = rect_f_ref[_RF_WBZ, i]
-                bb = rect_f_ref[_RF_BB, i]
-                a_hit = ox * wax + oy * way + oz * waz + ba + t_c * (
-                    dx * wax + dy * way + dz * waz
+                o2 = 2 * s
+                t_rect = coeffs.rect_t(
+                    out[o2:o2 + r], out[o2 + r:o2 + 2 * r],
+                    out[o2 + 2 * r:o2 + 3 * r], out[o2 + 3 * r:o2 + 4 * r],
+                    out[o2 + 4 * r:o2 + 5 * r], out[o2 + 5 * r:o2 + 6 * r],
+                    t_min,
                 )
-                b_hit = ox * wbx + oy * wby + oz * wbz + bb + t_c * (
-                    dx * wbx + dy * wby + dz * wbz
+                t_all = jnp.concatenate([t_sph, t_rect], axis=0)  # (P,128)
+                t_b = jnp.min(t_all, axis=0, keepdims=True)
+                iota = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
+                idx_b = jnp.min(
+                    jnp.where(t_all == t_b, iota, jnp.int32(n_prims)),
+                    axis=0, keepdims=True,
                 )
-                ok = (
-                    dn_ok
-                    & (t_c >= t_min)
-                    & (a_hit >= rect_f_ref[_RF_A0, i])
-                    & (a_hit <= rect_f_ref[_RF_A1, i])
-                    & (b_hit >= rect_f_ref[_RF_B0, i])
-                    & (b_hit <= rect_f_ref[_RF_B1, i])
-                )
-                t_c = jnp.where(ok, t_c, BIG)
-                closer = t_c < st["t"]
-                new = dict(
-                    t=t_c, is_sph=jnp.zeros_like(t_c), cx=st["cx"],
-                    cy=st["cy"], cz=st["cz"], inv_r=st["inv_r"],
-                    nx=rect_f_ref[_RF_NX, i] + 0 * t_c,
-                    ny=rect_f_ref[_RF_NY, i] + 0 * t_c,
-                    nz=rect_f_ref[_RF_NZ, i] + 0 * t_c,
-                    mtype=rect_i_ref[_RI_MTYPE, i] + 0 * st["mtype"],
-                    ttype=rect_i_ref[_RI_TTYPE, i] + 0 * st["ttype"],
-                    fuzz=rect_f_ref[_RF_FUZZ, i] + 0 * t_c,
-                    ior=rect_f_ref[_RF_IOR, i] + 0 * t_c,
-                    cr=rect_f_ref[_RF_CR, i] + 0 * t_c,
-                    cg=rect_f_ref[_RF_CG, i] + 0 * t_c,
-                    cb=rect_f_ref[_RF_CB, i] + 0 * t_c,
-                    c2r=rect_f_ref[_RF_C2R, i] + 0 * t_c,
-                    c2g=rect_f_ref[_RF_C2G, i] + 0 * t_c,
-                    c2b=rect_f_ref[_RF_C2B, i] + 0 * t_c,
-                )
-                if has_noise:
-                    new["tscale"] = rect_f_ref[_RF_TSCALE, i] + 0 * t_c
-                if has_image:
-                    # in-plane uv (reference XyRect.hit &c.,
-                    # hittable.zig:287-289): (hit - lo) / (hi - lo)
-                    a0 = rect_f_ref[_RF_A0, i]
-                    b0 = rect_f_ref[_RF_B0, i]
-                    inv_da = 1.0 / (rect_f_ref[_RF_A1, i] - a0)
-                    inv_db = 1.0 / (rect_f_ref[_RF_B1, i] - b0)
-                    new["u"] = (a_hit - a0) * inv_da
-                    new["v"] = (b_hit - b0) * inv_db
-                    new["iw"] = rect_i_ref[_RI_IMGW, i] + 0 * st["mtype"]
-                    new["ih"] = rect_i_ref[_RI_IMGH, i] + 0 * st["mtype"]
-                    new["ibase"] = (
-                        rect_i_ref[_RI_IMGBASE, i] + 0 * st["mtype"]
-                    )
-                out = {
-                    k: jnp.where(closer, new[k], st[k]) for k in keys
-                }
-                return tuple(out[k] for k in keys)
-
-            carry = tuple(st[k] for k in keys)
-            carry = jax.lax.fori_loop(0, n_spheres, sph_body, carry)
-            carry = jax.lax.fori_loop(0, n_rects, rect_body, carry)
-            return dict(zip(keys, carry))
+                t_rows.append(t_b)
+                i_rows.append(idx_b)
+            t_best = jnp.concatenate(t_rows, axis=0)   # (8, 128)
+            idx = jnp.concatenate(i_rows, axis=0)      # (8, 128)
+            return t_best, idx
 
         def bounce_body(b, carry):
             # alive_f is a float 0/1 mask: Mosaic rejects i1 vectors in
@@ -558,18 +520,49 @@ def _make_kernel(
             (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive_f) = carry
             alive = alive_f > 0.5
 
-            h = intersect_all(ox, oy, oz, dx, dy, dz)
-            hit = h["t"] < BIG * 0.5
-            t_eff = jnp.where(hit, h["t"], 1.0)
+            t_best, idx = intersect_all(ox, oy, oz, dx, dy, dz)
+            hit = t_best < BIG * 0.5
+            t_eff = jnp.where(hit, t_best, 1.0)
             px = ox + t_eff * dx
             py = oy + t_eff * dy
             pz = oz + t_eff * dz
 
+            # ---- winner attribute resolve (one gather pass) ----
+            idx_safe = jnp.where(hit, idx, 0)
+            chunk = idx_safe >> 7
+            lane = idx_safe & 127
+            is_s = idx_safe < s_pad
+
+            cx = gather_f(_AF_C0X, chunk, lane)
+            cy = gather_f(_AF_C0Y, chunk, lane)
+            cz = gather_f(_AF_C0Z, chunk, lane)
+            if has_motion:
+                # center at each ray's shutter time (hittable.zig:219-221)
+                s_t = (time - gather_f(_AF_T0, chunk, lane)) * gather_f(
+                    _AF_IDT, chunk, lane
+                )
+                cx = cx + s_t * gather_f(_AF_DCX, chunk, lane)
+                cy = cy + s_t * gather_f(_AF_DCY, chunk, lane)
+                cz = cz + s_t * gather_f(_AF_DCZ, chunk, lane)
+            inv_r = gather_f(_AF_INVR, chunk, lane)
+            rnx = gather_f(_AF_NX, chunk, lane)
+            rny = gather_f(_AF_NY, chunk, lane)
+            rnz = gather_f(_AF_NZ, chunk, lane)
+            fuzz = gather_f(_AF_FUZZ, chunk, lane)
+            ior = gather_f(_AF_IOR, chunk, lane)
+            cr = gather_f(_AF_CR, chunk, lane)
+            cg = gather_f(_AF_CG, chunk, lane)
+            cb = gather_f(_AF_CB, chunk, lane)
+            c2r = gather_f(_AF_C2R, chunk, lane)
+            c2g = gather_f(_AF_C2G, chunk, lane)
+            c2b = gather_f(_AF_C2B, chunk, lane)
+            mtype = gather_i(_AI_MTYPE, chunk, lane)
+            ttype = gather_i(_AI_TTYPE, chunk, lane)
+
             # outward normal: sphere (p-c)/r vs rect table normal
-            is_s = h["is_sph"] > 0.5
-            onx = jnp.where(is_s, (px - h["cx"]) * h["inv_r"], h["nx"])
-            ony = jnp.where(is_s, (py - h["cy"]) * h["inv_r"], h["ny"])
-            onz = jnp.where(is_s, (pz - h["cz"]) * h["inv_r"], h["nz"])
+            onx = jnp.where(is_s, (px - cx) * inv_r, rnx)
+            ony = jnp.where(is_s, (py - cy) * inv_r, rny)
+            onz = jnp.where(is_s, (pz - cz) * inv_r, rnz)
             d_dot_n = dx * onx + dy * ony + dz * onz
             front = d_dot_n < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
@@ -603,22 +596,23 @@ def _make_kernel(
             # ---- texture value at hit ----
             sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
             odd = sines < 0.0
-            is_check = h["ttype"] == TEX_CHECKER
-            tex_r = jnp.where(is_check & odd, h["c2r"], h["cr"])
-            tex_g = jnp.where(is_check & odd, h["c2g"], h["cg"])
-            tex_b = jnp.where(is_check & odd, h["c2b"], h["cb"])
+            is_check = ttype == TEX_CHECKER
+            tex_r = jnp.where(is_check & odd, c2r, cr)
+            tex_g = jnp.where(is_check & odd, c2g, cg)
+            tex_b = jnp.where(is_check & odd, c2b, cb)
             live_hit = alive & hit
 
             if has_noise:
                 # 0.5*(1+sin(scale*z + 10*turb)) (texture.zig:100-104);
                 # skipped for the whole tile when no live lane needs it.
-                is_noise = h["ttype"] == TEX_NOISE
+                tscale = gather_f(_AF_TSCALE, chunk, lane)
+                is_noise = ttype == TEX_NOISE
                 need_n = live_hit & is_noise
 
                 def noise_gray():
                     turbv = perlin_turb(px, py, pz)
                     return 0.5 * (
-                        1.0 + jnp.sin(h["tscale"] * pz + 10.0 * turbv)
+                        1.0 + jnp.sin(tscale * pz + 10.0 * turbv)
                     )
 
                 gray = jax.lax.cond(
@@ -631,13 +625,17 @@ def _make_kernel(
                 tex_b = jnp.where(is_noise, gray, tex_b)
 
             if has_image:
-                is_img = h["ttype"] == TEX_IMAGE
+                iw = gather_i(_AI_IMGW, chunk, lane)
+                ih = gather_i(_AI_IMGH, chunk, lane)
+                ibase = gather_i(_AI_IMGBASE, chunk, lane)
+                is_img = ttype == TEX_IMAGE
                 need_i = live_hit & is_img
 
                 def image_rgb():
                     # sphere uv (getSphereUv, hittable.zig:145-150) from
                     # the pre-flip outward normal; pole guard matches
-                    # ops/intersect.py:169-177
+                    # ops/intersect.py. Rect uv from the hit point via
+                    # the folded affine rows (coeffs.rect_uv_rows).
                     at_pole = (jnp.abs(onz) + jnp.abs(onx)) < 1e-12
                     phi = _atan2(
                         -jnp.where(at_pole, 0.0, onz),
@@ -646,33 +644,41 @@ def _make_kernel(
                     theta = _acos(
                         jnp.clip(-ony, -1.0 + 1e-7, 1.0 - 1e-7)
                     )
-                    uu = jnp.where(is_s, phi * (0.5 / jnp.pi), h["u"])
-                    vv = jnp.where(is_s, theta * (1.0 / jnp.pi), h["v"])
+                    u_rect = (
+                        px * gather_f(_AF_UWX, chunk, lane)
+                        + py * gather_f(_AF_UWY, chunk, lane)
+                        + pz * gather_f(_AF_UWZ, chunk, lane)
+                        + gather_f(_AF_UC, chunk, lane)
+                    )
+                    v_rect = (
+                        px * gather_f(_AF_VWX, chunk, lane)
+                        + py * gather_f(_AF_VWY, chunk, lane)
+                        + pz * gather_f(_AF_VWZ, chunk, lane)
+                        + gather_f(_AF_VC, chunk, lane)
+                    )
+                    uu = jnp.where(is_s, phi * (0.5 / jnp.pi), u_rect)
+                    vv = jnp.where(is_s, theta * (1.0 / jnp.pi), v_rect)
                     # nearest-neighbor texel (texture.zig:120-137 with
                     # the j-clamp bugfix; mirrors ops/textures.py:58-75)
-                    iw_f = h["iw"].astype(jnp.float32)
-                    ih_f = h["ih"].astype(jnp.float32)
+                    iw_f = iw.astype(jnp.float32)
+                    ih_f = ih.astype(jnp.float32)
                     uc = jnp.clip(uu, 0.0, 1.0)
                     vc = 1.0 - jnp.clip(vv, 0.0, 1.0)
-                    ti = jnp.minimum(
-                        (uc * iw_f).astype(jnp.int32), h["iw"] - 1
-                    )
-                    tj = jnp.minimum(
-                        (vc * ih_f).astype(jnp.int32), h["ih"] - 1
-                    )
-                    flat = h["ibase"] + tj * h["iw"] + ti
-                    chunk = flat >> 7
-                    lo = flat & 127
+                    ti = jnp.minimum((uc * iw_f).astype(jnp.int32), iw - 1)
+                    tj = jnp.minimum((vc * ih_f).astype(jnp.int32), ih - 1)
+                    flat = ibase + tj * iw + ti
+                    tchunk = flat >> 7
+                    tlane = flat & 127
                     # rays in a tile are spatially coherent: walk only
                     # the chunk range this tile touches
                     c_lo = jnp.clip(
                         jnp.min(
-                            jnp.where(need_i, chunk, jnp.int32(n_chunks))
+                            jnp.where(need_i, tchunk, jnp.int32(n_chunks))
                         ),
                         0, n_chunks - 1,
                     )
                     c_hi = jnp.clip(
-                        jnp.max(jnp.where(need_i, chunk, -1)),
+                        jnp.max(jnp.where(need_i, tchunk, -1)),
                         0, n_chunks - 1,
                     )
 
@@ -680,11 +686,11 @@ def _make_kernel(
                         row = jnp.broadcast_to(
                             img_ref[pl.ds(c, 1), :], (8, 128)
                         )
-                        g = jnp.take_along_axis(row, lo, axis=1)
-                        return acc + jnp.where(chunk == c, g, 0)
+                        g = jnp.take_along_axis(row, tlane, axis=1)
+                        return acc + jnp.where(tchunk == c, g, 0)
 
                     packed = jax.lax.fori_loop(
-                        c_lo, c_hi + 1, chunk_body, jnp.zeros_like(chunk)
+                        c_lo, c_hi + 1, chunk_body, jnp.zeros_like(tchunk)
                     )
                     inv = 1.0 / 255.0
                     pr = (packed & 255).astype(jnp.float32) * inv
@@ -731,13 +737,13 @@ def _make_kernel(
             rx = ux - 2.0 * u_dot_n * nx
             ry = uy - 2.0 * u_dot_n * ny
             rz = uz - 2.0 * u_dot_n * nz
-            mdx = rx + h["fuzz"] * (uvx * crad)
-            mdy = ry + h["fuzz"] * (uvy * crad)
-            mdz = rz + h["fuzz"] * (uvz * crad)
+            mdx = rx + fuzz * (uvx * crad)
+            mdy = ry + fuzz * (uvy * crad)
+            mdz = rz + fuzz * (uvz * crad)
             metal_alive = (rx * nx + ry * ny + rz * nz) > 0.0
 
             # ---- dielectric (material.zig:68-92) ----
-            ratio = jnp.where(front, 1.0 / h["ior"], h["ior"])
+            ratio = jnp.where(front, 1.0 / ior, ior)
             cos_t = jnp.minimum(-(u_dot_n), 1.0)
             sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-20))
             can_refract = ratio * sin_t <= 1.0
@@ -761,9 +767,9 @@ def _make_kernel(
             gdz = jnp.where(do_refract, fdz, rz)
 
             # ---- select by material ----
-            is_metal = h["mtype"] == MAT_METAL
-            is_diel = h["mtype"] == MAT_DIELECTRIC
-            is_light = h["mtype"] == MAT_LIGHT
+            is_metal = mtype == MAT_METAL
+            is_diel = mtype == MAT_DIELECTRIC
+            is_light = mtype == MAT_LIGHT
             ndx = jnp.where(is_metal, mdx, ddx)
             ndy = jnp.where(is_metal, mdy, ddy)
             ndz = jnp.where(is_metal, mdz, ddz)
@@ -846,14 +852,26 @@ _STATE_FIELDS = (
 )
 
 
+def _static_meta(scene: Scene):
+    """Static kernel-shape parameters for a scene, passed alongside the
+    packed tables (they must be Python ints/bools, not traced)."""
+    return dict(
+        s_pad=int(scene.spheres.radius.shape[0]),
+        r_pad=int(scene.rects.k.shape[0]),
+        has_noise=bool(scene.has_noise),
+        has_image=bool(scene.has_image),
+        has_motion=bool(scene.has_motion),
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bounces", "t_min", "has_noise", "has_image",
-                     "interpret"),
+    static_argnames=("n_bounces", "t_min", "s_pad", "r_pad", "has_noise",
+                     "has_image", "has_motion", "interpret"),
 )
 def _trace_segment(
-    tables,         # 7-tuple from _pack_scene —
-                    # passed pre-packed so each call carries 7 buffers,
+    tables,         # 6-tuple from _pack_scene —
+                    # passed pre-packed so each call carries 6 buffers,
                     # not the ~30-leaf Scene pytree (per-buffer dispatch
                     # overhead is material on the remote-TPU runtime)
     state,          # dict of flat [M] arrays, M % TILE == 0
@@ -862,8 +880,12 @@ def _trace_segment(
     b0,             # int32 scalar: global bounce index of segment start
     n_bounces: int,
     t_min: float = T_MIN,
+    *,
+    s_pad: int,
+    r_pad: int,
     has_noise: bool = False,
     has_image: bool = False,
+    has_motion: bool = True,
     interpret: bool = False,
 ):
     """Run one n_bounces kernel segment; returns (radiance [M,3], new
@@ -875,7 +897,7 @@ def _trace_segment(
     def tiled(x):
         return x.reshape(grid, 8, 128)
 
-    sph_f, sph_i, rect_f, rect_i, perm, grad, images = tables
+    coef, attr_f, attr_i, perm, grad, images = tables
     background = jnp.asarray(background, jnp.float32)
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
     b0_arr = jnp.asarray(b0, jnp.int32).reshape(1)
@@ -891,20 +913,24 @@ def _trace_segment(
 
     n_chunks = int(images.shape[0])
     kernel = _make_kernel(
-        int(sph_f.shape[1]), int(rect_f.shape[1]), n_bounces, t_min,
-        has_noise, has_image, n_chunks,
+        s_pad, r_pad, n_bounces, t_min,
+        has_noise, has_image, has_motion, n_chunks,
     )
-    n_prims = sph_f.shape[1] + rect_f.shape[1]
+    n_prims = s_pad + r_pad
+    r_coef = int(coef.shape[0])
     tex_flops = (3000 if has_noise else 0) + (300 if has_image else 0)
     cost = pl.CostEstimate(
-        flops=int(m) * n_bounces * (n_prims * 25 + 150 + tex_flops),
+        # MXU: 8 sublane matmuls of [r_coef,128]@[128,128] per tile;
+        # VPU: ~16 epilogue ops per (ray, prim) + ~250 scatter/gather.
+        flops=int(m) * n_bounces * (
+            r_coef * 256 + n_prims * 16 + 250 + tex_flops
+        ),
         bytes_accessed=int(m) * 26 * 4,
         transcendentals=int(m) * n_bounces * 12,
     )
 
     table_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
     )
     out = pl.pallas_call(
@@ -919,7 +945,7 @@ def _trace_segment(
         cost_estimate=cost,
         interpret=interpret,
     )(
-        sph_f, sph_i, rect_f, rect_i, perm, grad, images,
+        coef, attr_f, attr_i, perm, grad, images,
         seed_arr, background, b0_arr,
         tiled(state["ox"]), tiled(state["oy"]), tiled(state["oz"]),
         tiled(state["dx"]), tiled(state["dy"]), tiled(state["dz"]),
@@ -986,15 +1012,15 @@ def trace_paths_pallas(
     state = _init_state(origins, dirs, times, pixel_ids, sample_ids)
     rad, _ = _trace_segment(
         _pack_scene(scene), state, seed, background, jnp.int32(0), max_depth,
-        t_min, scene.has_noise, scene.has_image, interpret,
+        t_min, interpret=interpret, **_static_meta(scene),
     )
     return rad[:n]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bounces", "out_cap", "t_min", "has_noise",
-                     "has_image", "interpret"),
+    static_argnames=("n_bounces", "out_cap", "t_min", "s_pad", "r_pad",
+                     "has_noise", "has_image", "has_motion", "interpret"),
     donate_argnames=("total",),
 )
 def _segment_fused(
@@ -1008,8 +1034,12 @@ def _segment_fused(
     n_bounces: int,
     out_cap: int,   # compacted buffer size; == cap to skip compaction
     t_min: float = T_MIN,
+    *,
+    s_pad: int,
+    r_pad: int,
     has_noise: bool = False,
     has_image: bool = False,
+    has_motion: bool = True,
     interpret: bool = False,
 ):
     """One fused executable per segment: (optional) compaction + kernel
@@ -1036,8 +1066,9 @@ def _segment_fused(
     ray_id = state["ray_id"]
     rad, st = _trace_segment(
         tables, {k: state[k] for k in _STATE_FIELDS},
-        seed, background, b0, n_bounces, t_min, has_noise, has_image,
-        interpret,
+        seed, background, b0, n_bounces, t_min,
+        s_pad=s_pad, r_pad=r_pad, has_noise=has_noise, has_image=has_image,
+        has_motion=has_motion, interpret=interpret,
     )
     # dead/padding lanes produced rad == 0 inside the kernel
     total = total.at[ray_id].add(rad, mode="drop")
@@ -1097,6 +1128,7 @@ def trace_paths_pallas_compact(
     state["ray_id"] = jnp.arange(state["ox"].shape[0], dtype=jnp.int32)
     total = jnp.zeros((n, 3), jnp.float32)
     tables = jax.jit(_pack_scene)(scene)
+    meta = _static_meta(scene)
 
     # Sort + dedupe the schedule: a capacity is only a *shrink* point, so
     # an unsorted user schedule would otherwise skip boundaries silently.
@@ -1116,8 +1148,7 @@ def trace_paths_pallas_compact(
         out_cap = min(cap, cap_at.get(b, cap))
         total, state, count_dev, ovf = _segment_fused(
             tables, state, total, seed, background, jnp.int32(b), count_dev,
-            nxt - b, out_cap, t_min, scene.has_noise, scene.has_image,
-            interpret,
+            nxt - b, out_cap, t_min, interpret=interpret, **meta,
         )
         overflow = overflow | ovf
         cap = out_cap

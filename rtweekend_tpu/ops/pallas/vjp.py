@@ -81,14 +81,21 @@ def _bwd(max_depth, t_min, interpret, res, g):
     (scene, origins, dirs, times, pixel_ids, sample_ids, seed,
      background) = res
 
-    def f(scene, origins, dirs, times, background):
+    # Every residual is an explicit jax.vjp argument — closing over
+    # residual tracers breaks under shard_map (jax 0.9 ShardMapTracer
+    # has no lift for closure capture into an inner vjp trace).
+    def f(scene, origins, dirs, times, pixel_ids, sample_ids, seed,
+          background):
         return trace_paths(
             scene, origins, dirs, times, pixel_ids, sample_ids, seed,
             background, max_depth, remat=True,
         )
 
-    _, vjp = jax.vjp(f, scene, origins, dirs, times, background)
-    d_scene, d_o, d_d, d_t, d_bg = vjp(g)
+    _, vjp = jax.vjp(
+        f, scene, origins, dirs, times, pixel_ids, sample_ids, seed,
+        background,
+    )
+    d_scene, d_o, d_d, d_t, _, _, _, d_bg = vjp(g)
     return (
         d_scene, d_o, d_d, d_t,
         _float0(pixel_ids), _float0(sample_ids), _float0(seed),

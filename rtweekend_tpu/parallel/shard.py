@@ -39,13 +39,31 @@ def _cross_ids(pixel_ids, sample_ids):
 
 
 def _local_radiance_sums(scene, camera, background, seed, pixel_ids, sample_ids,
-                         width, height, max_depth, remat=False):
-    """Per-pixel radiance sums over this device's (pixel, sample) shard."""
+                         width, height, max_depth, remat=False,
+                         use_pallas=False, interpret=False):
+    """Per-pixel radiance sums over this device's (pixel, sample) shard.
+
+    use_pallas=True traces each shard's rays with the Pallas megakernel
+    — differentiable via the custom-VJP wrapper (ops/pallas/vjp.py), so
+    the same flag serves render_sharded and sharded_train_step. The
+    counter RNG keys every draw by (pixel, sample), so the kernel path
+    draws the identical samples per shard as the jnp path.
+    interpret=True runs the kernel in Pallas interpret mode (CPU virtual
+    meshes: tests and the driver's multi-chip dry run)."""
     pids, sids = _cross_ids(pixel_ids, sample_ids)
     o, d, t = generate_rays(camera, width, height, pids, sids, seed)
-    rad = trace_paths(
-        scene, o, d, t, pids, sids, seed, background, max_depth, remat=remat
-    )
+    if use_pallas:
+        from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+
+        rad = trace_paths_fast(
+            scene, o, d, t, pids, sids, seed, background, max_depth,
+            interpret=interpret,
+        )
+    else:
+        rad = trace_paths(
+            scene, o, d, t, pids, sids, seed, background, max_depth,
+            remat=remat,
+        )
     return jnp.sum(
         rad.reshape(pixel_ids.shape[0], sample_ids.shape[0], 3), axis=1
     )
@@ -61,9 +79,16 @@ def render_sharded(
     background,
     seed,
     mesh: Mesh,
+    *,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Distributed render; returns the radiance SUM framebuffer [H, W, 3]
-    (same samples as the single-device render at the same seed)."""
+    (same samples as the single-device render at the same seed).
+
+    use_pallas runs the TPU megakernel per shard under shard_map — the
+    flagship configuration (BASELINE.json north star: kernel sharded
+    over the ('tiles','samples') mesh)."""
     n_tiles = mesh.shape[TILE_AXIS]
     n_samp = mesh.shape[SAMPLE_AXIS]
     n_pix = width * height
@@ -77,16 +102,21 @@ def render_sharded(
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     sample_ids = jnp.arange(samples_per_pixel, dtype=jnp.int32)
 
+    # check_vma=False when the Pallas kernel runs inside the shard:
+    # pallas_call's out_shape carries no varying-mesh-axes annotation,
+    # which the vma checker (jax >= 0.7) rejects outright.
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS)),
         out_specs=P(TILE_AXIS),
+        check_vma=not use_pallas,
     )
     def run(scene, camera, background, seed, pix_shard, samp_shard):
         sums = _local_radiance_sums(
             scene, camera, background, seed, pix_shard, samp_shard,
             width, height, max_depth,
+            use_pallas=use_pallas, interpret=interpret,
         )
         return jax.lax.psum(sums, SAMPLE_AXIS)
 
@@ -133,11 +163,19 @@ def sharded_train_step(
     seed,
     mesh: Mesh,
     lr: float = 0.01,
+    *,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """One SGD step of inverse rendering (BASELINE.json config 5),
     sharded over the mesh: forward + backward through the path tracer,
     scene-parameter grads psum'd over both mesh axes (ICI), parameters
     replicated. Returns (params, loss).
+
+    use_pallas runs each shard's forward through the Pallas megakernel
+    (custom-VJP wrapper, ops/pallas/vjp.py); the backward remains the
+    remat'd jnp VJP, psum-transposed across the mesh exactly like the
+    jnp path.
 
     The loss is MSE between the spp-mean radiance and `target`
     (rows in framebuffer orientation, flipped internally to the
@@ -161,6 +199,7 @@ def sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS), P(TILE_AXIS)),
         out_specs=(P(), P()),
+        check_vma=not use_pallas,  # see render_sharded
     )
     def step(params, scene, camera, background, seed, pix_shard, samp_shard, tgt_shard):
         def loss_fn(params):
@@ -168,6 +207,7 @@ def sharded_train_step(
             sums = _local_radiance_sums(
                 sc, camera, background, seed, pix_shard, samp_shard,
                 width, height, max_depth, remat=True,
+                use_pallas=use_pallas, interpret=interpret,
             )
             mean = jax.lax.psum(sums, SAMPLE_AXIS) / samples_per_pixel
             err = mean - tgt_shard

@@ -18,7 +18,6 @@ from rtweekend_tpu.models.scene import (
 from rtweekend_tpu.ops.camera import generate_rays
 from rtweekend_tpu.ops.integrator import trace_paths
 from rtweekend_tpu.ops.pallas.megakernel import (
-    supports_scene,
     trace_paths_pallas,
     trace_paths_pallas_compact,
 )
@@ -46,7 +45,6 @@ def _parity(scene, cam_name, bg, n=1024, depth=6, aspect=1.0):
 
 def test_cornell_parity():
     scene = build_scene("cornell_box")
-    assert supports_scene(scene)
     r_jnp, r_pl = _parity(scene, "cornell_box", (0, 0, 0))
     np.testing.assert_allclose(r_pl, r_jnp, rtol=1e-5, atol=1e-6)
 
@@ -54,31 +52,21 @@ def test_cornell_parity():
 def test_final_scene_parity():
     """Exercises motion blur, metal, dielectric, checker, lens blur.
 
-    The jnp integrator computes the sphere quadratic in matmul-expanded
-    form (|o|^2 - 2 o.c + |c|^2) while the kernel uses the direct
-    (o-c) form; the f32 difference flips discrete decisions (closest
-    root, Schlick Bernoulli) on a small fraction of rays, whose paths
-    then diverge — legitimately different MC samples. Parity is
-    therefore elementwise for the vast majority plus statistical for
-    the whole batch."""
+    Both paths build candidate t from the SAME coefficient rows
+    (ops/coeffs.py) — the jnp path as one [N,NF]@[NF,P] matmul, the
+    kernel as [P,128]@[128,128] sublane matmuls — so the only remaining
+    divergence source is matmul accumulation order at f32. That can
+    still flip a discrete decision (closest root, Schlick Bernoulli) on
+    rare rays whose paths then legitimately diverge; the elementwise
+    tolerance budget is correspondingly much tighter than round 2's 3%."""
     scene = build_scene("final_scene")
-    assert supports_scene(scene)
     r_jnp, r_pl = _parity(
         scene, "final_scene", (0.7, 0.8, 1.0), depth=8, aspect=16 / 9
     )
     assert r_jnp.mean() > 0.1  # sky-lit scene is bright
     diff = np.abs(r_pl - r_jnp)
-    assert (diff > 1e-3).mean() < 0.03, f"too many diverged lanes: {(diff>1e-3).mean()}"
+    assert (diff > 1e-3).mean() < 0.005, f"too many diverged lanes: {(diff>1e-3).mean()}"
     np.testing.assert_allclose(r_pl.mean(axis=0), r_jnp.mean(axis=0), rtol=0.02)
-
-
-def test_all_scenes_supported():
-    """Round 2: every texture family is kernel-native, so every scene
-    runs the fast path."""
-    assert supports_scene(build_scene("two_perlin_spheres"))
-    assert supports_scene(build_scene("earth"))
-    assert supports_scene(build_scene("simple_light"))
-    assert supports_scene(build_scene("two_spheres"))
 
 
 @pytest.mark.parametrize(
@@ -97,7 +85,7 @@ def test_texture_scene_parity(name):
     r_jnp, r_pl = _parity(scene, name, bg, depth=6)
     assert np.isfinite(r_pl).all()
     diff = np.abs(r_pl - r_jnp)
-    assert (diff > 1e-3).mean() < 0.03, f"diverged: {(diff > 1e-3).mean()}"
+    assert (diff > 1e-3).mean() < 0.005, f"diverged: {(diff > 1e-3).mean()}"
     np.testing.assert_allclose(
         r_pl.mean(axis=0), r_jnp.mean(axis=0), rtol=0.02, atol=5e-3
     )

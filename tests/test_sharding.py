@@ -97,3 +97,46 @@ def test_train_step_grads_match_unsharded(setup):
         np.testing.assert_allclose(
             got, np.asarray(ref_grads[k]), rtol=2e-3, atol=2e-6
         )
+
+
+def test_pallas_sharded_matches_jnp_sharded(setup):
+    """The flagship configuration (VERDICT r2 #2): the Pallas megakernel
+    running per shard under shard_map. Both paths intersect via the
+    SAME coefficient rows (ops/coeffs.py), so on this all-rect scene
+    the interpret-mode kernel matches the jnp shards exactly."""
+    scene, camera, bg = setup
+    mesh = make_mesh(shape=(4, 2), devices=jax.devices()[:8])
+    want = np.asarray(
+        render_sharded(scene, camera, W, H, SPP, DEPTH, bg, 42, mesh)
+    )
+    got = np.asarray(
+        render_sharded(
+            scene, camera, W, H, SPP, DEPTH, bg, 42, mesh,
+            use_pallas=True, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_sharded_train_step(setup):
+    """sharded_train_step(use_pallas=True): Pallas forward per shard,
+    remat'd jnp backward, psum'd grads — loss and grads must match the
+    jnp sharded step (same samples, same integrand)."""
+    from rtweekend_tpu.parallel.shard import extract_params
+
+    scene, camera, bg = setup
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    target = jnp.asarray(_single(scene, camera, bg) / SPP)
+    params0 = extract_params(scene)
+    p_jnp, loss_jnp = sharded_train_step(
+        scene, camera, target, W, H, SPP, DEPTH, bg, 43, mesh, lr=1.0
+    )
+    p_pl, loss_pl = sharded_train_step(
+        scene, camera, target, W, H, SPP, DEPTH, bg, 43, mesh, lr=1.0,
+        use_pallas=True, interpret=True,
+    )
+    np.testing.assert_allclose(float(loss_pl), float(loss_jnp), rtol=1e-5)
+    for k in p_jnp:
+        np.testing.assert_allclose(
+            np.asarray(p_pl[k]), np.asarray(p_jnp[k]), rtol=1e-4, atol=1e-6
+        )
