@@ -34,15 +34,16 @@ import numpy as np
 REFERENCE_GOLDEN = "/root/reference/RayTracingInOneWeekend.png"
 
 
-def _tonemapped_ours(spp: int, width: int = 600, height: int = 400):
+def _tonemapped_ours(spp: int, width: int = 600, height: int = 400,
+                     scene_name: str = "golden_scene"):
     from rtweekend_tpu.config import SCENE_DEFAULTS
     from rtweekend_tpu.models.builders import build_scene
     from rtweekend_tpu.render import camera_for_scene, render
     from rtweekend_tpu.utils import image as image_mod
 
-    scene = build_scene("random_scene", seed=42)
-    camera = camera_for_scene("random_scene", aspect_ratio=width / height)
-    bg = SCENE_DEFAULTS["random_scene"]["background"]
+    scene = build_scene(scene_name, seed=42)
+    camera = camera_for_scene(scene_name, aspect_ratio=width / height)
+    bg = SCENE_DEFAULTS[scene_name]["background"]
     accum = render(scene, camera, width, height, spp, 50, bg, 42)
     return np.asarray(image_mod.tonemap(accum, spp)).astype(np.float64) / 255.0
 
@@ -88,15 +89,30 @@ def compare(ours: np.ndarray, golden: np.ndarray) -> dict:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--spp", type=int, default=50)
+    p.add_argument("--spp", type=int, default=100)
+    p.add_argument(
+        "--scene", default="golden_scene",
+        choices=["golden_scene", "random_scene"],
+        help="golden_scene reconstructs the golden's evident pre-HEAD "
+             "scene (gray ground, static spheres, gradient sky); "
+             "random_scene is HEAD semantics (checker ground, motion)",
+    )
     p.add_argument("--out", default="parity_report.json")
+    p.add_argument("--save-png", default=None,
+                   help="also write our render next to the report")
     args = p.parse_args(argv)
 
     golden = _load_golden()
-    ours = _tonemapped_ours(args.spp, golden.shape[1], golden.shape[0])
+    ours = _tonemapped_ours(
+        args.spp, golden.shape[1], golden.shape[0], args.scene
+    )
+    if args.save_png:
+        from rtweekend_tpu.utils.image import write_png
+
+        write_png(args.save_png, (ours * 255.0 + 0.5).astype(np.uint8))
     report = {
         "config": {
-            "scene": "random_scene",
+            "scene": args.scene,
             "width": golden.shape[1],
             "height": golden.shape[0],
             "spp": args.spp,
@@ -104,10 +120,16 @@ def main(argv=None) -> int:
             "seed": 42,
         },
         "semantics": (
-            "distributional parity only: reference uses one serial RNG "
-            "stream (scene+sampling interleaved, main.zig:300) and its "
-            "golden predates HEAD (plain ground vs HEAD's checker, "
-            "different camera distance); see SURVEY.md §6"
+            "statistical parity: the reference draws one serial RNG "
+            "stream through scene generation AND sampling "
+            "(main.zig:300), so the sphere-grid placements/colors "
+            "cannot be replicated draw-for-draw; golden_scene matches "
+            "the golden's evident pre-HEAD form (book-1 final scene: "
+            "gray ground, static spheres, 22x22 grid, gradient sky — "
+            "verified against the golden's own sky rows, see "
+            "integrator.sky_color). Expected agreement: sky rows tight "
+            "(deterministic), global/region means to within the "
+            "random-grid realization noise"
         ),
         "metrics": compare(ours, golden),
     }

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="hot-path implementation (auto = Pallas on TPU when the scene supports it)",
     )
     p.add_argument(
+        "--adaptive-caps", action="store_true",
+        help="derive the wavefront-compaction schedule from a CPU "
+             "alive-fraction probe instead of the static heuristic",
+    )
+    p.add_argument(
         "--checkpoint", default=None, metavar="PATH",
         help="checkpoint file for resumable rendering",
     )
@@ -92,6 +97,15 @@ def main(argv=None) -> int:
 
         metrics = MetricsLogger(args.metrics)
 
+    capacities = None
+    if args.adaptive_caps:
+        from rtweekend_tpu.render import adaptive_capacities
+
+        capacities = adaptive_capacities(
+            cfg.scene, SCENE_DEFAULTS[cfg.scene]["background"], cfg.max_depth
+        )
+        print(f"adaptive compaction schedule: {capacities}")
+
     t0 = time.time()
     with profiling.trace(args.profile_dir):
         if args.checkpoint:
@@ -115,7 +129,8 @@ def main(argv=None) -> int:
             img = np.asarray(image_mod.tonemap(accum, cfg.samples_per_pixel))
         else:
             img, accum = render_image(
-                cfg, progress=True, use_pallas=use_pallas, metrics=metrics
+                cfg, progress=True, use_pallas=use_pallas, metrics=metrics,
+                capacities=capacities,
             )
     dt = time.time() - t0
     if metrics is not None:

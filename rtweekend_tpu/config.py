@@ -68,6 +68,15 @@ SCENE_DEFAULTS = {
         width=1200, height=675, samples_per_pixel=500, vfov=20.0, aperture=0.1,
         background=(0.70, 0.80, 1.00), look_from=(13, 2, 3), look_at=(0, 0, 0),
     ),
+    # The committed golden render's scene (parity.py / BASELINE.md row 1):
+    # book-1 final scene under the book-1 GRADIENT sky — background is a
+    # (bottom, top) pair lerped by ray elevation (integrator.sky_color);
+    # the golden's sky rows match this, not HEAD's flat (0.7, 0.8, 1.0).
+    "golden_scene": dict(
+        width=600, height=400, samples_per_pixel=100, vfov=20.0, aperture=0.1,
+        background=((1.0, 1.0, 1.0), (0.5, 0.7, 1.0)),
+        look_from=(13, 2, 3), look_at=(0, 0, 0),
+    ),
     # Book-1 intermediate scenes (BASELINE.json configs 1-3). Not in the
     # reference repo (it jumps straight to book-2 content) but part of
     # the benchmark capability set.

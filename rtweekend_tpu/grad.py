@@ -31,9 +31,20 @@ from rtweekend_tpu.ops.integrator import trace_paths
 from rtweekend_tpu.parallel.shard import extract_params, merge_params
 
 
+def _pick_chunk(n_pix: int, spp: int, rays_per_chunk: int) -> int:
+    """Largest sample count that divides spp with n_pix * chunk rays
+    within the workspace budget (one compiled shape, bounded memory)."""
+    chunk = max(1, min(spp, rays_per_chunk // max(n_pix, 1)))
+    while chunk > 1 and spp % chunk:
+        chunk -= 1
+    return chunk
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "use_pallas"),
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "use_pallas", "rays_per_chunk"
+    ),
 )
 def render_mean(
     scene: Scene,
@@ -46,33 +57,57 @@ def render_mean(
     spp: int,
     max_depth: int,
     use_pallas: bool = False,
+    rays_per_chunk: int = 1 << 20,
 ):
     """Differentiable mean-radiance framebuffer [H, W, 3] (row 0 = top).
 
     use_pallas=False: jnp integrator with per-bounce remat, fully
     differentiable end to end. use_pallas=True: the Pallas megakernel
-    forward paired with the remat'd jnp backward through
-    ops/pallas/vjp.trace_paths_fast — the TPU fast path for both the
+    decides the paths and the differentiable replay integrates them
+    (ops/pallas/vjp.trace_paths_fast) — the TPU fast path for both the
     forward render and gradient steps.
+
+    Samples are traced in chunks of `rays_per_chunk` rays (a lax.scan
+    over sample batches, remat'd per chunk), so inverse rendering
+    scales to full-size framebuffers instead of materializing all
+    W x H x spp rays at once (VERDICT r2 #9).
     """
     n_pix = width * height
-    pixel_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), spp)
-    sample_ids = jnp.tile(jnp.arange(spp, dtype=jnp.int32), n_pix)
     seed = jnp.uint32(seed)
-    o, d, t = generate_rays(camera, width, height, pixel_ids, sample_ids, seed)
-    bg = jnp.asarray(background, o.dtype)
-    if use_pallas:
-        from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+    bg = jnp.asarray(background, camera.origin.dtype)
+    chunk = _pick_chunk(n_pix, spp, rays_per_chunk)
+    pixel_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), chunk)
+    sample_base = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), n_pix)
 
-        rad = trace_paths_fast(
-            scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth
+    def trace_chunk(sample_start):
+        sample_ids = sample_base + sample_start
+        o, d, t = generate_rays(
+            camera, width, height, pixel_ids, sample_ids, seed
         )
+        if use_pallas:
+            from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+
+            rad = trace_paths_fast(
+                scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth
+            )
+        else:
+            rad = trace_paths(
+                scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth,
+                remat=True,
+            )
+        return jnp.sum(rad.reshape(n_pix, chunk, 3), axis=1)
+
+    if chunk == spp:
+        sums = trace_chunk(jnp.int32(0))
     else:
-        rad = trace_paths(
-            scene, o, d, t, pixel_ids, sample_ids, seed, bg, max_depth,
-            remat=True,
+        def body(acc, s0):
+            return acc + trace_chunk(s0), None
+
+        starts = jnp.arange(0, spp, chunk, dtype=jnp.int32)
+        sums, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros((n_pix, 3), bg.dtype), starts
         )
-    mean = jnp.mean(rad.reshape(n_pix, spp, 3), axis=1)
+    mean = sums / spp
     return mean.reshape(height, width, 3)[::-1]
 
 

@@ -56,12 +56,20 @@ def two_perlin_spheres(builder: SceneBuilder, rng: np.random.Generator):
     builder.add_sphere((0.0, 2.0, 0.0), 2.0, mat)
 
 
-def _random_scene_grid(builder: SceneBuilder, rng: np.random.Generator, half: int):
+def _random_scene_grid(builder: SceneBuilder, rng: np.random.Generator, half: int,
+                       checker_ground: bool = True, motion: bool = True):
     """Shared body of generateRandomScene (main.zig:157-221) with a
-    configurable grid half-width (3 for the reference, 11 for the book)."""
-    mat_ground = builder.material(
-        Diffuse(albedo=Checker(odd=(0.2, 0.3, 0.1), even=(0.9, 0.9, 0.9)))
-    )
+    configurable grid half-width (3 for the reference, 11 for the book).
+
+    checker_ground=False / motion=False select the book-1 form of the
+    scene — plain gray ground, static diffuse spheres — which is what
+    the reference's committed golden render evidently used (it predates
+    HEAD's book-2 edits; see parity.py)."""
+    if checker_ground:
+        ground_albedo = Checker(odd=(0.2, 0.3, 0.1), even=(0.9, 0.9, 0.9))
+    else:
+        ground_albedo = Solid((0.5, 0.5, 0.5))
+    mat_ground = builder.material(Diffuse(albedo=ground_albedo))
     mat1 = builder.material(Dielectric(ir=1.5))
     mat2 = builder.material(Diffuse(albedo=Solid((0.4, 0.2, 0.1))))
     mat3 = builder.material(Metal(albedo=(0.7, 0.6, 0.5), fuzz=0.0))
@@ -81,11 +89,17 @@ def _random_scene_grid(builder: SceneBuilder, rng: np.random.Generator, half: in
             if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
                 continue
             if choose_mat < 0.8:
-                # diffuse, moving upward (main.zig:193-205)
+                # diffuse, moving upward (main.zig:193-205); book-1 form
+                # is static
                 albedo = rng.random(3) * rng.random(3)
                 mat = builder.material(Diffuse(albedo=Solid(tuple(albedo))))
-                center1 = center + np.array([0.0, rng.uniform(0.0, 0.5), 0.0])
-                builder.add_moving_sphere(center, center1, 0.0, 1.0, 0.2, mat)
+                if motion:
+                    center1 = center + np.array(
+                        [0.0, rng.uniform(0.0, 0.5), 0.0]
+                    )
+                    builder.add_moving_sphere(center, center1, 0.0, 1.0, 0.2, mat)
+                else:
+                    builder.add_sphere(center, 0.2, mat)
             elif choose_mat < 0.95:
                 # metal (main.zig:206-211)
                 albedo = rng.uniform(0.5, 1.0, 3)
@@ -106,6 +120,18 @@ def random_scene(builder: SceneBuilder, rng: np.random.Generator):
 def final_scene(builder: SceneBuilder, rng: np.random.Generator):
     """Book-cover scene: 22x22 grid (~485 spheres), BASELINE config 4."""
     _random_scene_grid(builder, rng, half=11)
+
+
+def golden_scene(builder: SceneBuilder, rng: np.random.Generator):
+    """The scene of the reference's committed golden render
+    (RayTracingInOneWeekend.png): the book-1 final scene — plain gray
+    ground, static diffuse spheres, 22x22 grid — under the book-1
+    gradient sky (config.SCENE_DEFAULTS['golden_scene']['background']).
+    The golden predates the reference HEAD's book-2 edits (checker
+    ground + motion blur, main.zig:160-205), whose scenes 1-5 do not
+    even compile at HEAD (SURVEY.md §4)."""
+    _random_scene_grid(builder, rng, half=11, checker_ground=False,
+                       motion=False)
 
 
 def _procedural_earth_rgba(size=(256, 512)) -> np.ndarray:
@@ -223,6 +249,7 @@ SCENES = {
     "simple_light": simple_light,
     "cornell_box": cornell_box,
     "final_scene": final_scene,
+    "golden_scene": golden_scene,
 }
 
 

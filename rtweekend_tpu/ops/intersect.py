@@ -94,7 +94,6 @@ def intersect(scene: Scene, o, d, time, t_min: float = T_MIN) -> Hit:
     integer id).
     """
     sp, rc = scene.spheres, scene.rects
-    n_s = sp.radius.shape[0]
 
     ts = sphere_candidate_ts(scene, o, d, time, t_min)   # [N, S]
     tr = rect_candidate_ts(scene, o, d, time, t_min)     # [N, R]
@@ -103,6 +102,64 @@ def intersect(scene: Scene, o, d, time, t_min: float = T_MIN) -> Hit:
     idx = jnp.argmin(t_all, axis=1)                      # [N]
     t_best = jnp.min(t_all, axis=1)
     hit = t_best < BIG * 0.5
+    return resolve_hit(scene, o, d, time, idx, hit, t_best)
+
+
+def intersect_winner(scene: Scene, o, d, time, winner, t_min: float = T_MIN) -> Hit:
+    """Hit record for a KNOWN winning primitive per ray — the replay
+    path of the detached-sampling estimator (ops/pallas/vjp.py).
+
+    `winner` [N] int32 is the global primitive index chosen by the full
+    closest-hit march (the Pallas megakernel's per-bounce argmin), or -1
+    for a miss. The discrete decision is taken as given (stop-gradient
+    semantics, exactly the estimator grad.py documents); only the
+    winning primitive's hit t is recomputed — differentiably — so the
+    cost is O(N) gathers instead of the O(N x P) candidate march. Same
+    quadratic / plane-solve formulas as ops/coeffs.py, evaluated
+    directly on the gathered primitive (hittable.zig:96-116, :279)."""
+    sp, rc = scene.spheres, scene.rects
+    n_s = sp.radius.shape[0]
+    kernel_hit = winner >= 0
+    idx = jnp.where(kernel_hit, winner, 0)
+    is_sphere = idx < n_s
+    si = jnp.where(is_sphere, idx, 0)
+    ri = jnp.where(is_sphere, 0, idx - n_s)
+
+    # Sphere: nearest quadratic root of the gathered sphere at the ray's
+    # shutter time (same roots as the coefficient form, reassociated).
+    s_t = (time - sp.time0[si]) * sp.inv_dt[si]
+    center = sp.c0[si] + s_t[:, None] * sp.dc[si]
+    oc = o - center
+    a = vecmath.norm_squared(d)
+    half_b = vecmath.dot(oc, d)
+    c = vecmath.norm_squared(oc) - sp.radius[si] * sp.radius[si]
+    t_sph = coeffs.quadratic_t(half_b, c, a, 1.0 / a, t_min)
+
+    # Rect: plane solve t = (k - o.wn - bn) / (d.wn); the uv bounds test
+    # is part of the discrete decision already made by the march.
+    dn = vecmath.dot(d, rc.wn[ri])
+    dn_ok = dn != 0.0
+    t_rect = (rc.k[ri] - vecmath.dot(o, rc.wn[ri]) - rc.bn[ri]) / jnp.where(
+        dn_ok, dn, 1.0
+    )
+    t_rect = jnp.where(dn_ok & (t_rect >= t_min), t_rect, BIG)
+
+    t_best = jnp.where(is_sphere, t_sph, t_rect)
+    t_best = jnp.where(kernel_hit, t_best, BIG)
+    # Re-derive the hit flag so a boundary disagreement (march said hit,
+    # replay root says miss by one ulp) degrades to a miss instead of
+    # poisoning geometry with t = BIG.
+    hit = kernel_hit & (t_best < BIG * 0.5)
+    return resolve_hit(scene, o, d, time, idx, hit, t_best)
+
+
+def resolve_hit(scene: Scene, o, d, time, idx, hit, t_best) -> Hit:
+    """Winner-attribute resolution shared by the full march and the
+    replay path: geometry, front-face normal, uv, material id for the
+    primitive `idx` per ray (reference Sphere.hit:118-127, rect uv
+    hittable.zig:287-289)."""
+    sp, rc = scene.spheres, scene.rects
+    n_s = sp.radius.shape[0]
     t_eff = jnp.where(hit, t_best, 1.0)                  # keep geometry finite
 
     p = o + t_eff[:, None] * d

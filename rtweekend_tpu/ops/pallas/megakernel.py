@@ -332,13 +332,20 @@ def _make_kernel(
     has_image: bool = False,
     has_motion: bool = True,
     n_chunks: int = 1,
+    want_winners: bool = False,
+    has_sky: bool = False,
 ):
     """Build the kernel body with static primitive counts and segment
     length. Bounce indices run b0..b0+n_bounces (b0 from SMEM), so RNG
     streams continue correctly across segments. has_noise/has_image
     statically compile in the Perlin/image texture paths only for
     scenes that use them; has_motion=False skips the moving-center
-    gathers (4 rows) and the per-ray center lerp."""
+    gathers (4 rows) and the per-ray center lerp. want_winners adds a
+    per-bounce winner-index output (-1 = miss) — the discrete path
+    decisions consumed by the differentiable replay backward
+    (ops/pallas/vjp.py). has_sky lerps the two background colors by
+    0.5*(unit(d).y + 1) on miss — the book-1 gradient sky of the
+    reference's committed golden (see ops/integrator.sky_color)."""
     n_prims = s_pad + r_pad
     attr_chunks = -(-n_prims // 128)
 
@@ -350,13 +357,18 @@ def _make_kernel(
         pid_ref, sid_ref, tr_ref, tg_ref, tb_ref, al_ref,
         rr_ref, rg_ref, rb_ref,
         ox2_ref, oy2_ref, oz2_ref, dx2_ref, dy2_ref, dz2_ref,
-        tr2_ref, tg2_ref, tb2_ref, al2_ref,
+        tr2_ref, tg2_ref, tb2_ref, al2_ref, *win_refs,
     ):
+        win_ref = win_refs[0] if want_winners else None
         seed_u = seed_ref[0]
         b0 = b0_ref[0]
         bg_r = bg_ref[0]
         bg_g = bg_ref[1]
         bg_b = bg_ref[2]
+        if has_sky:
+            bg_r1 = bg_ref[3]
+            bg_g1 = bg_ref[4]
+            bg_b1 = bg_ref[5]
 
         time = tm_ref[0]
         pix_u = pltpu.bitcast(pid_ref[0], jnp.uint32)
@@ -787,14 +799,24 @@ def _make_kernel(
             hit_live = alive & hit
             miss_live = alive & ~hit
             em = hit_live & is_light
+            if has_sky:
+                # book-1 gradient sky (integrator.sky_color): lerp the
+                # two background rows by the unit direction's y. inv_dn
+                # above is rsqrt(|d|^2) of the CURRENT direction.
+                tsky = 0.5 * (dy * inv_dn + 1.0)
+                sky_r = (1.0 - tsky) * bg_r + tsky * bg_r1
+                sky_g = (1.0 - tsky) * bg_g + tsky * bg_g1
+                sky_b = (1.0 - tsky) * bg_b + tsky * bg_b1
+            else:
+                sky_r, sky_g, sky_b = bg_r, bg_g, bg_b
             rr = rr + jnp.where(em, tr * tex_r, 0.0) + jnp.where(
-                miss_live, tr * bg_r, 0.0
+                miss_live, tr * sky_r, 0.0
             )
             rg = rg + jnp.where(em, tg * tex_g, 0.0) + jnp.where(
-                miss_live, tg * bg_g, 0.0
+                miss_live, tg * sky_g, 0.0
             )
             rb = rb + jnp.where(em, tb * tex_b, 0.0) + jnp.where(
-                miss_live, tb * bg_b, 0.0
+                miss_live, tb * sky_b, 0.0
             )
             new_alive = hit_live & sc_alive
             tr = jnp.where(new_alive, tr * at_r, tr)
@@ -807,15 +829,20 @@ def _make_kernel(
             dy = jnp.where(new_alive, ndy, dy)
             dz = jnp.where(new_alive, ndz, dz)
             new_alive_f = jnp.where(new_alive, 1.0, 0.0)
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, new_alive_f)
+            state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, new_alive_f)
+            winner = jnp.where(hit, idx, jnp.int32(-1))
+            return state, winner
 
         def bounce_guarded(b, carry):
             alive_f = carry[-1]
-            return jax.lax.cond(
+            new_carry, winner = jax.lax.cond(
                 jnp.max(alive_f) > 0.5,
                 lambda: bounce_body(b, carry),
-                lambda: carry,
+                lambda: (carry, jnp.full((8, 128), -1, jnp.int32)),
             )
+            if want_winners:
+                win_ref[0, b] = winner
+            return new_carry
 
         ox = ox_ref[0]
         zero = jnp.zeros_like(ox)
@@ -867,7 +894,7 @@ def _static_meta(scene: Scene):
 @functools.partial(
     jax.jit,
     static_argnames=("n_bounces", "t_min", "s_pad", "r_pad", "has_noise",
-                     "has_image", "has_motion", "interpret"),
+                     "has_image", "has_motion", "interpret", "want_winners"),
 )
 def _trace_segment(
     tables,         # 6-tuple from _pack_scene —
@@ -887,10 +914,23 @@ def _trace_segment(
     has_image: bool = False,
     has_motion: bool = True,
     interpret: bool = False,
+    want_winners: bool = False,
 ):
     """Run one n_bounces kernel segment; returns (radiance [M,3], new
-    state dict). Dead lanes (al==0) pass through untouched and add
-    nothing to radiance."""
+    state dict) — plus winners [n_bounces, M] int32 (-1 = miss) when
+    want_winners. Dead lanes (al==0) pass through untouched and add
+    nothing to radiance.
+
+    shard_map note: pallas_call cannot satisfy the vma checker
+    (jax 0.9: out_shapes would need vma annotations AND the
+    interpret-mode jaxpr would need vma-uniform cond branches), so this
+    function must only appear inside shard_map regions with
+    check_vma=False — which is sound ONLY for forward-only use. Anything
+    differentiated must live in a check_vma=True region; parallel/
+    shard.py therefore splits winner computation (this kernel, forward
+    shard_map) from the differentiable replay (jnp, checked shard_map).
+    Round-4 bug when this rule is broken: the psum transpose silently
+    mis-reduces and scene grads come out ~3x off."""
     m = state["ox"].shape[0]
     grid = m // TILE
 
@@ -899,6 +939,8 @@ def _trace_segment(
 
     coef, attr_f, attr_i, perm, grad, images = tables
     background = jnp.asarray(background, jnp.float32)
+    has_sky = background.ndim == 2  # (bottom, top) gradient-sky rows
+    background = background.reshape(-1)  # SMEM: 3 (flat) or 6 floats
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
     b0_arr = jnp.asarray(b0, jnp.int32).reshape(1)
 
@@ -914,7 +956,7 @@ def _trace_segment(
     n_chunks = int(images.shape[0])
     kernel = _make_kernel(
         s_pad, r_pad, n_bounces, t_min,
-        has_noise, has_image, has_motion, n_chunks,
+        has_noise, has_image, has_motion, n_chunks, want_winners, has_sky,
     )
     n_prims = s_pad + r_pad
     r_coef = int(coef.shape[0])
@@ -933,15 +975,25 @@ def _trace_segment(
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
     )
+    out_shapes = [
+        jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32) for _ in range(13)
+    ]
+    if want_winners:
+        out_specs = out_specs + [
+            pl.BlockSpec(
+                (1, n_bounces, 8, 128), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        out_shapes.append(
+            jax.ShapeDtypeStruct((grid, n_bounces, 8, 128), jnp.int32)
+        )
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=table_specs + ray_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)
-            for _ in range(13)
-        ],
+        out_shape=out_shapes,
         cost_estimate=cost,
         interpret=interpret,
     )(
@@ -958,10 +1010,13 @@ def _trace_segment(
     new_state = dict(state)
     for name, val in zip(
         ("ox", "oy", "oz", "dx", "dy", "dz", "tr", "tg", "tb", "al"),
-        out[3:],
+        out[3:16],
     ):
         new_state[name] = val.reshape(m)
     rad = jnp.stack([rr, rg, rb], axis=-1)
+    if want_winners:
+        winners = out[13].transpose(1, 0, 2, 3).reshape(n_bounces, m)
+        return rad, new_state, winners
     return rad, new_state
 
 
@@ -988,7 +1043,7 @@ def _init_state(origins, dirs, times, pixel_ids, sample_ids):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "t_min", "interpret"),
+    static_argnames=("max_depth", "t_min", "interpret", "return_winners"),
 )
 def trace_paths_pallas(
     scene: Scene,
@@ -1003,17 +1058,28 @@ def trace_paths_pallas(
     *,
     t_min: float = T_MIN,
     interpret: bool = False,
+    return_winners: bool = False,
 ):
     """Drop-in replacement for ops.integrator.trace_paths on supported
     scenes (f32, forward only). Returns radiance [N, 3]. Jittable; one
     kernel call covering all bounces. Prefer trace_paths_pallas_compact
-    from host-level code (it adds wavefront compaction)."""
+    from host-level code (it adds wavefront compaction).
+
+    return_winners=True additionally returns the per-bounce closest-hit
+    winner indices [max_depth, N] int32 (-1 = miss) — the discrete path
+    decisions the differentiable replay backward consumes
+    (ops/pallas/vjp.py)."""
     n = origins.shape[0]
     state = _init_state(origins, dirs, times, pixel_ids, sample_ids)
-    rad, _ = _trace_segment(
+    out = _trace_segment(
         _pack_scene(scene), state, seed, background, jnp.int32(0), max_depth,
-        t_min, interpret=interpret, **_static_meta(scene),
+        t_min, interpret=interpret, want_winners=return_winners,
+        **_static_meta(scene),
     )
+    if return_winners:
+        rad, _, winners = out
+        return rad[:n], winners[:, :n]
+    rad, _ = out
     return rad[:n]
 
 

@@ -38,35 +38,123 @@ def _cross_ids(pixel_ids, sample_ids):
     return pids, sids
 
 
+def _pick_sample_chunk(n_pix_l, n_smp_l, rays_per_chunk):
+    chunk = max(1, min(n_smp_l, rays_per_chunk // max(n_pix_l, 1)))
+    while chunk > 1 and n_smp_l % chunk:
+        chunk -= 1
+    return chunk
+
+
+def _winners_sharded(scene, camera, width, height, max_depth, background,
+                     seed, mesh, pixel_ids, sample_ids, interpret=False,
+                     rays_per_chunk=1 << 20):
+    """Per-bounce closest-hit winners for every (pixel, sample), computed
+    by the Pallas megakernel in a FORWARD-ONLY shard_map.
+
+    Returns winners [max_depth, n_pix, spp] int32 (-1 = miss), sharded
+    P(None, tiles, samples). check_vma=False is sound here precisely
+    because nothing is differentiated through this region (jax 0.9's
+    pallas_call cannot satisfy the vma checker; with the checker off the
+    psum TRANSPOSE is unsound, so no psum/grad may appear inside) — the
+    differentiable consumer is the jnp replay in a checked shard_map."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS)),
+        out_specs=P(None, TILE_AXIS, SAMPLE_AXIS),
+        check_vma=False,
+    )
+    def run(scene, camera, background, seed, pix, smp):
+        from rtweekend_tpu.ops.pallas.megakernel import trace_paths_pallas
+
+        n_pix_l, n_smp_l = pix.shape[0], smp.shape[0]
+        chunk = _pick_sample_chunk(n_pix_l, n_smp_l, rays_per_chunk)
+
+        def win_chunk(smp_chunk):
+            pids, sids = _cross_ids(pix, smp_chunk)
+            o, d, t = generate_rays(camera, width, height, pids, sids, seed)
+            _, win = trace_paths_pallas(
+                scene, o, d, t, pids, sids, seed, background, max_depth,
+                interpret=interpret, return_winners=True,
+            )
+            return win.reshape(max_depth, n_pix_l, chunk)
+
+        if chunk == n_smp_l:
+            return win_chunk(smp)
+        wins = jax.lax.map(
+            win_chunk, smp.reshape(n_smp_l // chunk, chunk)
+        )  # [n_chunks, depth, n_pix_l, chunk]
+        return jnp.concatenate(list(wins), axis=-1)
+
+    return run(scene, camera, background, seed, pixel_ids, sample_ids)
+
+
 def _local_radiance_sums(scene, camera, background, seed, pixel_ids, sample_ids,
                          width, height, max_depth, remat=False,
-                         use_pallas=False, interpret=False):
+                         winners=None, interpret=False,
+                         rays_per_chunk=1 << 20):
     """Per-pixel radiance sums over this device's (pixel, sample) shard.
 
-    use_pallas=True traces each shard's rays with the Pallas megakernel
-    — differentiable via the custom-VJP wrapper (ops/pallas/vjp.py), so
-    the same flag serves render_sharded and sharded_train_step. The
-    counter RNG keys every draw by (pixel, sample), so the kernel path
-    draws the identical samples per shard as the jnp path.
-    interpret=True runs the kernel in Pallas interpret mode (CPU virtual
-    meshes: tests and the driver's multi-chip dry run)."""
-    pids, sids = _cross_ids(pixel_ids, sample_ids)
-    o, d, t = generate_rays(camera, width, height, pids, sids, seed)
-    if use_pallas:
-        from rtweekend_tpu.ops.pallas.vjp import trace_paths_fast
+    winners=None: jnp integrator end to end. winners [depth, n_pix_l,
+    n_smp_l] (from _winners_sharded): the differentiable replay
+    integrates exactly those paths (ops/integrator.trace_paths_replay) —
+    ordinary jnp code, so it runs under a fully vma-checked shard_map.
+    The counter RNG keys every draw by (pixel, sample), so both paths
+    draw identical samples per shard.
 
-        rad = trace_paths_fast(
-            scene, o, d, t, pids, sids, seed, background, max_depth,
-            interpret=interpret,
+    The shard's samples are traced in chunks of <= rays_per_chunk rays
+    (scan over sample batches), bounding the per-device workspace so
+    sharded renders scale past toy sizes (VERDICT r2 #9)."""
+    from rtweekend_tpu.ops.integrator import trace_paths_replay
+
+    n_pix_l = pixel_ids.shape[0]
+    n_smp_l = sample_ids.shape[0]
+    chunk = _pick_sample_chunk(n_pix_l, n_smp_l, rays_per_chunk)
+
+    def trace_chunk(smp_chunk, win_chunk):
+        pids, sids = _cross_ids(pixel_ids, smp_chunk)
+        o, d, t = generate_rays(camera, width, height, pids, sids, seed)
+        if win_chunk is not None:
+            rad = trace_paths_replay(
+                scene, o, d, t, pids, sids, seed, background,
+                win_chunk.reshape(max_depth, n_pix_l * chunk), remat=True,
+            )
+        else:
+            rad = trace_paths(
+                scene, o, d, t, pids, sids, seed, background, max_depth,
+                remat=remat,
+            )
+        return jnp.sum(rad.reshape(n_pix_l, chunk, 3), axis=1)
+
+    if chunk == n_smp_l:
+        return trace_chunk(sample_ids, winners)
+
+    smp_chunks = sample_ids.reshape(n_smp_l // chunk, chunk)
+    if winners is None:
+        def body(acc, smp_chunk):
+            return acc + trace_chunk(smp_chunk, None), None
+
+        sums, _ = jax.lax.scan(
+            jax.checkpoint(body),
+            jnp.zeros((n_pix_l, 3), background.dtype),
+            smp_chunks,
         )
     else:
-        rad = trace_paths(
-            scene, o, d, t, pids, sids, seed, background, max_depth,
-            remat=remat,
+        win_chunks = jnp.moveaxis(
+            winners.reshape(max_depth, n_pix_l, n_smp_l // chunk, chunk), 2, 0
+        )  # [n_chunks, depth, n_pix_l, chunk]
+
+        def body(acc, xs):
+            smp_chunk, win_chunk = xs
+            return acc + trace_chunk(smp_chunk, win_chunk), None
+
+        sums, _ = jax.lax.scan(
+            jax.checkpoint(body),
+            jnp.zeros((n_pix_l, 3), background.dtype),
+            (smp_chunks, win_chunks),
         )
-    return jnp.sum(
-        rad.reshape(pixel_ids.shape[0], sample_ids.shape[0], 3), axis=1
-    )
+    return sums
 
 
 def render_sharded(
@@ -86,9 +174,11 @@ def render_sharded(
     """Distributed render; returns the radiance SUM framebuffer [H, W, 3]
     (same samples as the single-device render at the same seed).
 
-    use_pallas runs the TPU megakernel per shard under shard_map — the
-    flagship configuration (BASELINE.json north star: kernel sharded
-    over the ('tiles','samples') mesh)."""
+    use_pallas runs the TPU megakernel per shard — the flagship
+    configuration (BASELINE.json north star: kernel sharded over the
+    ('tiles','samples') mesh). Structure: the kernel decides the paths
+    in a forward-only shard_map (_winners_sharded), the jnp replay
+    integrates them inside the fully vma-checked shard_map below."""
     n_tiles = mesh.shape[TILE_AXIS]
     n_samp = mesh.shape[SAMPLE_AXIS]
     n_pix = width * height
@@ -102,25 +192,32 @@ def render_sharded(
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     sample_ids = jnp.arange(samples_per_pixel, dtype=jnp.int32)
 
-    # check_vma=False when the Pallas kernel runs inside the shard:
-    # pallas_call's out_shape carries no varying-mesh-axes annotation,
-    # which the vma checker (jax >= 0.7) rejects outright.
+    winners = None
+    if use_pallas:
+        winners = _winners_sharded(
+            scene, camera, width, height, max_depth, background, seed,
+            mesh, pixel_ids, sample_ids, interpret=interpret,
+        )
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS)),
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS),
+                  P(None, TILE_AXIS, SAMPLE_AXIS) if use_pallas else P()),
         out_specs=P(TILE_AXIS),
-        check_vma=not use_pallas,
     )
-    def run(scene, camera, background, seed, pix_shard, samp_shard):
+    def run(scene, camera, background, seed, pix_shard, samp_shard, win_shard):
         sums = _local_radiance_sums(
             scene, camera, background, seed, pix_shard, samp_shard,
             width, height, max_depth,
-            use_pallas=use_pallas, interpret=interpret,
+            winners=win_shard if use_pallas else None, interpret=interpret,
         )
         return jax.lax.psum(sums, SAMPLE_AXIS)
 
-    sums = run(scene, camera, background, seed, pixel_ids, sample_ids)
+    sums = run(
+        scene, camera, background, seed, pixel_ids, sample_ids,
+        winners if use_pallas else jnp.zeros((), jnp.int32),
+    )
     # psum over samples leaves each sample-rank with the full pixel sums;
     # out_specs P(TILE_AXIS) re-concatenates pixel shards.
     return sums.reshape(height, width, 3)[::-1]
@@ -172,10 +269,11 @@ def sharded_train_step(
     scene-parameter grads psum'd over both mesh axes (ICI), parameters
     replicated. Returns (params, loss).
 
-    use_pallas runs each shard's forward through the Pallas megakernel
-    (custom-VJP wrapper, ops/pallas/vjp.py); the backward remains the
-    remat'd jnp VJP, psum-transposed across the mesh exactly like the
-    jnp path.
+    use_pallas runs the Pallas megakernel per shard to decide the paths
+    (forward-only shard_map, _winners_sharded); the loss is then
+    computed and differentiated through the jnp replay inside the fully
+    vma-checked shard_map below — so the psum transpose (and therefore
+    every scene-parameter gradient) is checked, not assumed.
 
     The loss is MSE between the spp-mean radiance and `target`
     (rows in framebuffer orientation, flipped internally to the
@@ -194,20 +292,30 @@ def sharded_train_step(
     target_flat = jnp.asarray(target, camera.origin.dtype)[::-1].reshape(n_pix, 3)
     params = extract_params(scene)
 
+    winners = None
+    if use_pallas:
+        winners = _winners_sharded(
+            scene, camera, width, height, max_depth, background, seed,
+            mesh, pixel_ids, sample_ids, interpret=interpret,
+        )
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS), P(TILE_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=not use_pallas,  # see render_sharded
+        in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS), P(SAMPLE_AXIS),
+                  P(TILE_AXIS),
+                  P(None, TILE_AXIS, SAMPLE_AXIS) if use_pallas else P()),
+        out_specs=(P(), P()),  # check_vma stays on — see render_sharded
     )
-    def step(params, scene, camera, background, seed, pix_shard, samp_shard, tgt_shard):
+    def step(params, scene, camera, background, seed, pix_shard, samp_shard,
+             tgt_shard, win_shard):
         def loss_fn(params):
             sc = merge_params(scene, params)
             sums = _local_radiance_sums(
                 sc, camera, background, seed, pix_shard, samp_shard,
                 width, height, max_depth, remat=True,
-                use_pallas=use_pallas, interpret=interpret,
+                winners=win_shard if use_pallas else None,
+                interpret=interpret,
             )
             mean = jax.lax.psum(sums, SAMPLE_AXIS) / samples_per_pixel
             err = mean - tgt_shard
@@ -223,5 +331,6 @@ def sharded_train_step(
         return new_params, loss
 
     return step(
-        params, scene, camera, background, seed, pixel_ids, sample_ids, target_flat
+        params, scene, camera, background, seed, pixel_ids, sample_ids,
+        target_flat, winners if use_pallas else jnp.zeros((), jnp.int32),
     )

@@ -83,12 +83,107 @@ def _capacities_for(background):
     (open scenes); a black background here means an enclosed emissive
     scene where most rays stay alive (Cornell). `background` must be a
     host value (tuple/list/ndarray) — a device array is never inspected
-    (a D2H read would wreck the remote-TPU dispatch fast path)."""
+    (a D2H read would wreck the remote-TPU dispatch fast path).
+
+    This is the zero-cost static fallback; `adaptive_capacities` derives
+    a measured schedule from an alive-fraction probe when the scene name
+    is known (cli --adaptive-caps, bench.py)."""
     from rtweekend_tpu.ops.pallas.megakernel import CAPS_CLOSED, CAPS_OPEN
 
     if isinstance(background, jax.Array):
         return CAPS_CLOSED  # conservative: cannot inspect without D2H
     return CAPS_OPEN if float(np.max(background)) > 0.0 else CAPS_CLOSED
+
+
+_ADAPTIVE_CAPS_CACHE = {}
+
+
+def adaptive_capacities(
+    scene_name: str,
+    background,
+    max_depth: int,
+    *,
+    margin: float = 3.0,
+    max_boundaries: int = 4,
+    min_frac: float = 0.004,
+    probe_width: int = 64,
+    probe_spp: int = 2,
+    seed: int = 0,
+):
+    """Measured compaction schedule: probe per-bounce alive fractions
+    and place at most `max_boundaries` shrink points with a `margin`x
+    safety factor (VERDICT r2 #8 — replaces guessing occupancy from the
+    background color).
+
+    The probe renders a tiny (probe_width^2 x probe_spp) wavefront with
+    the jnp integrator ON THE CPU BACKEND — the scene is rebuilt there
+    from its registry name — so no TPU device->host read ever happens
+    (the remote-TPU runtime permanently degrades dispatch after one).
+    Alive fraction is monotone nonincreasing (rays never resurrect), so
+    a boundary's capacity covers its whole segment. Fewer boundaries
+    also mean fewer compiled kernel variants (the round-3 compile-time
+    lesson). Results are cached per (scene, depth, lit-background)."""
+    lit = (
+        True if isinstance(background, jax.Array)
+        else float(np.max(background)) > 0.0
+    )
+    key = (scene_name, max_depth, lit)
+    if key in _ADAPTIVE_CAPS_CACHE:
+        return _ADAPTIVE_CAPS_CACHE[key]
+
+    from rtweekend_tpu.ops.camera import generate_rays as gen_rays
+    from rtweekend_tpu.utils.profiling import alive_fractions
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        scene = build_scene(scene_name)
+        camera = camera_for_scene(scene_name, aspect_ratio=1.0)
+        w = h = probe_width
+        n_pix = w * h
+        pids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), probe_spp)
+        sids = jnp.tile(jnp.arange(probe_spp, dtype=jnp.int32), n_pix)
+        o, d, t = gen_rays(camera, w, h, pids, sids, jnp.uint32(seed))
+        fracs = np.asarray(
+            alive_fractions(
+                scene, o, d, t, pids, sids, jnp.uint32(seed), max_depth
+            )
+        )
+
+    # Exact DP: choose <= max_boundaries shrink points minimizing total
+    # executed lane-bounces sum(cap(seg) * len(seg)). need[b] is the
+    # margin'd capacity a boundary at b would set; fracs are monotone
+    # nonincreasing, so a boundary's capacity covers its whole segment.
+    need = [1.0] + [
+        max(min(margin * float(fracs[b]), 1.0), min_frac)
+        for b in range(1, max_depth)
+    ]
+
+    best = {}  # (j, k) -> (cost, schedule tuple from j)
+
+    def solve(j, cap, k):
+        if j >= max_depth:
+            return 0.0, ()
+        if (j, k) in best:
+            return best[(j, k)]
+        # no further boundary
+        cost, sched = cap * (max_depth - j), ()
+        if k > 0:
+            for m in range(j + 1, max_depth):
+                if need[m] >= cap:
+                    continue
+                sub, ssched = solve(m, need[m], k - 1)
+                c = cap * (m - j) + sub
+                if c < cost:
+                    cost, sched = c, ((m, need[m]),) + ssched
+        best[(j, k)] = (cost, sched)
+        return cost, sched
+
+    # Memoizing on (j, k) is valid: cap at any boundary j>0 is always
+    # need[j], and j=0 (cap 1.0) is only ever the root call.
+    _, sched = solve(0, 1.0, max_boundaries)
+    sched = tuple(sched)
+    _ADAPTIVE_CAPS_CACHE[key] = sched
+    return sched
 
 
 def render_batch_compact(
@@ -322,7 +417,7 @@ def camera_for_scene(name: str, dtype=jnp.float32, aspect_ratio=None) -> Camera:
 
 def render_image(
     config: RenderConfig, progress: bool = False,
-    use_pallas: Optional[bool] = None, metrics=None,
+    use_pallas: Optional[bool] = None, metrics=None, capacities=None,
 ):
     """End-to-end: build scene + camera from config, render, tone map.
 
@@ -347,6 +442,7 @@ def render_image(
         progress=progress,
         use_pallas=use_pallas,
         metrics=metrics,
+        capacities=capacities,
     )
     img = image_mod.tonemap(accum, config.samples_per_pixel)
     return np.asarray(img), accum
