@@ -23,8 +23,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+# Prefer the COMMITTED bench cache (.bench_cache, regenerated whenever
+# the kernels change) so a driver run starts warm: cold Mosaic compiles
+# for the full bench measure ~410 s on the remote-TPU tunnel vs ~75 s
+# warm. Falls back to the local dev cache.
+_here = os.path.dirname(os.path.abspath(__file__))
+_cache = os.path.join(_here, ".bench_cache")
+if not os.path.isdir(_cache):
+    _cache = os.path.join(_here, ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 
 import jax.numpy as jnp
 import numpy as np
@@ -148,10 +155,18 @@ def _bench_fwd_bwd():
     loss, grads = vg(params)  # compile
     ok = float(loss)
     assert np.isfinite(ok)
-    t0 = time.perf_counter()
+    # the FIRST post-compile step carries ~400ms of one-time layout/
+    # donation work (measured: 766ms then stable 353ms); warm it off and
+    # report the median of 3 steady-state steps.
     loss, grads = vg(params)
     _ = float(loss) + float(jnp.sum(grads["c0"]))
-    dt = time.perf_counter() - t0
+    times = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        loss, grads = vg(params)
+        _ = float(loss) + float(jnp.sum(grads["c0"]))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     return round(w * h * spp / dt)
 
 

@@ -156,9 +156,12 @@ def _pack_scene(scene: Scene):
 
     zs = jnp.zeros((s_pad,), jnp.float32)
     zr = jnp.zeros((r_pad,), jnp.float32)
-    # padding spheres keep radius 1 (scene builder), so 1/r is finite;
-    # they can never win (all-zero coef rows -> t = BIG).
-    inv_r = 1.0 / sp.radius
+    # guard locally (ADVICE r3): padding spheres can never win (all-zero
+    # coef rows -> t = BIG), but don't rely on the builder keeping their
+    # radius nonzero — a 0 radius would put inf in the gathered table.
+    inv_r = jnp.where(
+        sp.active & (sp.radius != 0.0), 1.0 / jnp.where(sp.radius == 0.0, 1.0, sp.radius), 0.0
+    )
     ua_w, ua_c, vb_w, vb_c = coeffs.rect_uv_rows(scene)
 
     def mat_rows(mat_id):

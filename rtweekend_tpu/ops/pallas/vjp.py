@@ -38,9 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from rtweekend_tpu.models.scene import Scene
-from rtweekend_tpu.ops.integrator import trace_paths_replay
 from rtweekend_tpu.ops.intersect import T_MIN
 from rtweekend_tpu.ops.pallas.megakernel import trace_paths_pallas
+from rtweekend_tpu.ops.replay import trace_paths_replay_fast
 
 
 def trace_paths_fast(
@@ -74,7 +74,7 @@ def trace_paths_fast(
         return_winners=True,
     )
     winners = jax.lax.stop_gradient(winners)
-    return trace_paths_replay(
+    return trace_paths_replay_fast(
         scene, origins, dirs, times, pixel_ids, sample_ids, seed,
         background, winners, t_min=t_min, remat=True,
     )

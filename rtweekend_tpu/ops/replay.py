@@ -1,0 +1,351 @@
+"""Fast differentiable path replay via packed winner-attribute gathers.
+
+`ops.integrator.trace_paths_replay` is the clear reference
+implementation of the replay backward (ops/pallas/vjp.py design): it
+reuses `intersect_winner` + `scatter`, which issue ~40 separate
+one-column gathers per bounce. On TPU those dominate — measured on the
+bench config (400x225x4 rays, depth 16, final_scene), the gather-heavy
+replay ran no faster than the full O(N x P) candidate march (530 ms vs
+583 ms), because XLA:TPU executes each small gather at far below
+memory bandwidth while the march's feature matmul rides the MXU.
+
+This module packs everything the replay needs — winner geometry PLUS
+DENORMALIZED material/texture constants, mirroring the Pallas kernel's
+attribute table (megakernel._pack_scene) — into one [P, 34] float and
+one [P, 3] int table, so each bounce costs exactly TWO wide-slice
+gathers. Measured: a packed [P, 32] gather is ~6.5x faster than 32
+separate column gathers at equal gradient cost.
+
+The math is the same, formula for formula, as the reference path:
+  - winner hit t: Sphere.hit / MovingSphere.hit quadratic
+    (reference src/rtw/hittable.zig:96-116, :165-185, :219-221) and the
+    rect plane solve (:279, :332, :385) with baked instance transforms;
+  - normals / uv: hittable.zig:118-127, :145-150, :287-289;
+  - scatter: material.zig:41-110 (diffuse/metal/dielectric/light),
+    identical RNG streams to ops/scatter.py;
+  - textures: texture.zig:46-145 (solid/checker/noise/image);
+  - accumulation: main.zig:110-121 + the gradient sky
+    (integrator.sky_color).
+Equivalence with the reference replay is asserted by
+tests/test_integrator.py::test_replay_fast_matches_replay.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rtweekend_tpu.models.scene import (
+    MAT_DIELECTRIC,
+    MAT_LIGHT,
+    MAT_METAL,
+    Scene,
+    TEX_CHECKER,
+    TEX_IMAGE,
+    TEX_NOISE,
+)
+from rtweekend_tpu.ops.coeffs import BIG, quadratic_t
+from rtweekend_tpu.ops.integrator import sky_color
+from rtweekend_tpu.ops.intersect import T_MIN
+from rtweekend_tpu.utils import perlin as perlin_mod
+from rtweekend_tpu.utils import rng as rng_mod
+
+# Float-table column layout [P, _KF] (spheres then rects, padded):
+(
+    _C0X, _C0Y, _C0Z,        # sphere center c0 (rects: 0)
+    _DCX, _DCY, _DCZ,        # sphere center delta
+    _T0, _IDT,               # motion time0 / 1/dt
+    _RAD,                    # radius (rects: 0 — guarded)
+    _WNX, _WNY, _WNZ,        # rect plane row w_n (spheres: 0)
+    _BN, _K,                 # rect plane bias / offset
+    _NX, _NY, _NZ,           # rect world outward normal
+    _UWX, _UWY, _UWZ, _UC,   # rect u(p) affine row
+    _VWX, _VWY, _VWZ, _VC,   # rect v(p) affine row
+    _FUZZ, _IOR,
+    _CR, _CG, _CB,           # texture color / checker even
+    _C2R, _C2G, _C2B,        # checker odd
+    _TSCALE,                 # noise scale
+) = range(34)
+_KF = 34
+_MTYPE, _TTYPE, _IMG = range(3)
+_KI = 3
+
+_NEAR_ZERO = 1e-8
+
+
+def replay_tables(scene: Scene):
+    """(attr_f [P, 35] float, attr_i [P, 3] int32) in global-primitive
+    order — the replay twin of the Pallas kernel's attribute table,
+    with materials/textures denormalized onto primitives. Differentiable
+    w.r.t. the scene's float leaves (built by jnp ops each trace)."""
+    sp, rc = scene.spheres, scene.rects
+    mats, tex = scene.materials, scene.textures
+    s = sp.radius.shape[0]
+    r = rc.k.shape[0]
+    dt = sp.c0.dtype
+    zs = jnp.zeros((s,), dt)
+    zr = jnp.zeros((r,), dt)
+
+    # rect uv affine rows (shared fold, ops/coeffs.rect_uv_rows)
+    da = rc.a1 - rc.a0
+    db = rc.b1 - rc.b0
+    inv_da = 1.0 / jnp.where(da == 0.0, 1.0, da)
+    inv_db = 1.0 / jnp.where(db == 0.0, 1.0, db)
+
+    def mat_cols(mat_id):
+        tid = mats.tex_id[mat_id]
+        return (
+            [mats.fuzz[mat_id], mats.ior[mat_id],
+             tex.color[tid, 0], tex.color[tid, 1], tex.color[tid, 2],
+             tex.color2[tid, 0], tex.color2[tid, 1], tex.color2[tid, 2],
+             tex.scale[tid]],
+            [mats.mtype[mat_id], tex.ttype[tid], tex.image_id[tid]],
+        )
+
+    s_mf, s_mi = mat_cols(sp.mat_id)
+    r_mf, r_mi = mat_cols(rc.mat_id)
+
+    def cat(a, b):
+        return jnp.concatenate([jnp.asarray(a, dt), jnp.asarray(b, dt)])
+
+    cols = [
+        cat(sp.c0[:, 0], zr), cat(sp.c0[:, 1], zr), cat(sp.c0[:, 2], zr),
+        cat(sp.dc[:, 0], zr), cat(sp.dc[:, 1], zr), cat(sp.dc[:, 2], zr),
+        cat(sp.time0, zr), cat(sp.inv_dt, jnp.ones_like(zr)),
+        cat(sp.radius, zr),
+        cat(zs, rc.wn[:, 0]), cat(zs, rc.wn[:, 1]), cat(zs, rc.wn[:, 2]),
+        cat(zs, rc.bn), cat(zs, rc.k),
+        cat(zs, rc.normal[:, 0]), cat(zs, rc.normal[:, 1]),
+        cat(zs, rc.normal[:, 2]),
+        cat(zs, rc.wa[:, 0] * inv_da), cat(zs, rc.wa[:, 1] * inv_da),
+        cat(zs, rc.wa[:, 2] * inv_da), cat(zs, (rc.ba - rc.a0) * inv_da),
+        cat(zs, rc.wb[:, 0] * inv_db), cat(zs, rc.wb[:, 1] * inv_db),
+        cat(zs, rc.wb[:, 2] * inv_db), cat(zs, (rc.bb - rc.b0) * inv_db),
+        cat(s_mf[0], r_mf[0]), cat(s_mf[1], r_mf[1]),
+        cat(s_mf[2], r_mf[2]), cat(s_mf[3], r_mf[3]), cat(s_mf[4], r_mf[4]),
+        cat(s_mf[5], r_mf[5]), cat(s_mf[6], r_mf[6]), cat(s_mf[7], r_mf[7]),
+        cat(s_mf[8], r_mf[8]),
+    ]
+    attr_f = jnp.stack(cols, axis=1)
+    attr_i = jnp.stack(
+        [jnp.concatenate([jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)])
+         for a, b in zip(s_mi, r_mi)],
+        axis=1,
+    )
+    return attr_f, attr_i
+
+
+def trace_paths_replay_fast(
+    scene: Scene,
+    origins,
+    dirs,
+    times,
+    pixel_ids,
+    sample_ids,
+    seed,
+    background,
+    winners,
+    *,
+    t_min: float = T_MIN,
+    remat: bool = True,
+):
+    """Drop-in trace_paths_replay with packed-gather bounces.
+
+    winners [max_depth, N] int32 (-1 = miss) from the Pallas march.
+    Returns radiance [N, 3]; differentiable w.r.t. the scene's float
+    leaves, rays, and background (detached-sampling semantics — see
+    grad.py)."""
+    background = jnp.asarray(background, dtype=origins.dtype)
+    zero3 = jnp.zeros_like(origins)
+    n_s = scene.spheres.radius.shape[0]
+    attr_f, attr_i = replay_tables(scene)
+    dtype = origins.dtype
+
+    def bounce(carry, xs):
+        bounce_idx, winner = xs
+        o, d, throughput, radiance, alive = carry
+
+        kernel_hit = winner >= 0
+        idx = jnp.where(kernel_hit, winner, 0)
+        af = attr_f[idx]                       # [N, 35] one packed gather
+        ai = attr_i[idx]                       # [N, 3]
+        is_s = idx < n_s
+
+        # ---- winner hit t (hittable.zig:96-116 / :279) ----
+        s_t = (times - af[:, _T0]) * af[:, _IDT]
+        center = af[:, _C0X:_C0Z + 1] + s_t[:, None] * af[:, _DCX:_DCZ + 1]
+        oc = o - center
+        a = jnp.sum(d * d, axis=-1)
+        half_b = jnp.sum(oc * d, axis=-1)
+        rad_safe = jnp.where(is_s, af[:, _RAD], 1.0)
+        c = jnp.sum(oc * oc, axis=-1) - rad_safe * rad_safe
+        t_sph = quadratic_t(half_b, c, a, 1.0 / a, t_min)
+
+        wn = af[:, _WNX:_WNZ + 1]
+        dn = jnp.sum(d * wn, axis=-1)
+        dn_ok = dn != 0.0
+        t_rect = (af[:, _K] - jnp.sum(o * wn, axis=-1) - af[:, _BN]) / (
+            jnp.where(dn_ok, dn, 1.0)
+        )
+        t_rect = jnp.where(dn_ok & (t_rect >= t_min), t_rect, BIG)
+
+        t_best = jnp.where(is_s, t_sph, t_rect)
+        t_best = jnp.where(kernel_hit, t_best, BIG)
+        hit = kernel_hit & (t_best < BIG * 0.5)
+        t_eff = jnp.where(hit, t_best, 1.0)
+        p = o + t_eff[:, None] * d
+
+        # ---- normal (front-face flipped) ----
+        outward_sph = (p - center) / rad_safe[:, None]
+        outward = jnp.where(is_s[:, None], outward_sph, af[:, _NX:_NZ + 1])
+        d_dot_n = jnp.sum(outward * d, axis=-1)
+        front = d_dot_n < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        normal = outward * sgn[:, None]
+
+        # ---- RNG (identical streams to ops/scatter.py) ----
+        stream_a = rng_mod.BOUNCE_STREAM0 + 2 * bounce_idx
+        stream_b = stream_a + 1
+        u_b = rng_mod.uniform4(seed, pixel_ids, sample_ids, stream_b, dtype)
+        unit_vec = rng_mod.unit_vector(
+            seed, pixel_ids, sample_ids, stream_a, dtype
+        )
+        sphere_pt = unit_vec * jnp.cbrt(u_b[:, 0])[:, None]
+        u_choice = u_b[:, 1]
+
+        # ---- texture at the hit (texture.zig:46-145) ----
+        ttype = ai[:, _TTYPE]
+        tex_val = af[:, _CR:_CB + 1]
+        if scene.has_checker:
+            sines = (
+                jnp.sin(10.0 * p[:, 0])
+                * jnp.sin(10.0 * p[:, 1])
+                * jnp.sin(10.0 * p[:, 2])
+            )
+            checker = jnp.where(
+                (sines < 0.0)[:, None], af[:, _C2R:_C2B + 1], tex_val
+            )
+            tex_val = jnp.where((ttype == TEX_CHECKER)[:, None], checker, tex_val)
+        if scene.has_noise:
+            turbv = perlin_mod.turb(
+                scene.perlin_grad, scene.perlin_px, scene.perlin_py,
+                scene.perlin_pz, p, depth=7,
+            )
+            gray = 0.5 * (
+                1.0 + jnp.sin(af[:, _TSCALE] * p[:, 2] + 10.0 * turbv)
+            )
+            tex_val = jnp.where(
+                (ttype == TEX_NOISE)[:, None], gray[:, None], tex_val
+            )
+        if scene.has_image:
+            # sphere uv (getSphereUv, hittable.zig:145-150) / rect
+            # affine uv — only needed for image lookups, so computed
+            # under this static flag.
+            at_pole = (
+                jnp.abs(outward[:, 2]) + jnp.abs(outward[:, 0])
+            ) < 1e-12
+            phi = jnp.arctan2(
+                -jnp.where(at_pole, 0.0, outward[:, 2]),
+                jnp.where(at_pole, 1.0, outward[:, 0]),
+            ) + jnp.pi
+            theta = jnp.arccos(
+                jnp.clip(-outward[:, 1], -1.0 + 1e-7, 1.0 - 1e-7)
+            )
+            u_rect = jnp.sum(p * af[:, _UWX:_UWZ + 1], axis=-1) + af[:, _UC]
+            v_rect = jnp.sum(p * af[:, _VWX:_VWZ + 1], axis=-1) + af[:, _VC]
+            u = jnp.where(is_s, phi / (2.0 * jnp.pi), u_rect)
+            v = jnp.where(is_s, theta / jnp.pi, v_rect)
+            img_id = ai[:, _IMG]
+            w_ = scene.image_w[img_id].astype(dtype)
+            h_ = scene.image_h[img_id].astype(dtype)
+            uu = jnp.clip(u, 0.0, 1.0)
+            vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+            i_ = jnp.minimum(
+                (uu * w_).astype(jnp.int32), scene.image_w[img_id] - 1
+            )
+            j_ = jnp.minimum(
+                (vv * h_).astype(jnp.int32), scene.image_h[img_id] - 1
+            )
+            texel = scene.images[img_id, j_, i_].astype(dtype)
+            rgb = texel[:, :3] / 255.0
+            ocean = jnp.asarray([0.0, 0.0, 1.0], dtype)
+            img_col = jnp.where(
+                (texel[:, 3] == 0.0)[:, None], ocean[None, :], rgb
+            )
+            tex_val = jnp.where((ttype == TEX_IMAGE)[:, None], img_col, tex_val)
+
+        # ---- scatter (material.zig:41-110; mirrors ops/scatter.py) ----
+        diff_dir = normal + unit_vec
+        deg = jnp.sum(jnp.abs(diff_dir) < _NEAR_ZERO, axis=-1) == 3
+        diff_dir = jnp.where(deg[:, None], normal, diff_dir)
+
+        d_sq = jnp.sum(d * d, axis=-1)
+        inv_dn_ = jax.lax.rsqrt(jnp.where(d_sq == 0.0, 1.0, d_sq))
+        unit_in = d * inv_dn_[:, None]
+        u_dot_n = jnp.sum(unit_in * normal, axis=-1)
+        reflected = unit_in - 2.0 * u_dot_n[:, None] * normal
+        fuzz = af[:, _FUZZ]
+        metal_dir = reflected + fuzz[:, None] * sphere_pt
+        metal_alive = jnp.sum(reflected * normal, axis=-1) > 0.0
+
+        ior = af[:, _IOR]
+        ratio = jnp.where(front, 1.0 / ior, ior)
+        cos_theta = jnp.minimum(-u_dot_n, 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-20))
+        can_refract = ratio * sin_theta <= 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+        do_refract = can_refract & (reflectance < u_choice)
+        perp = ratio[:, None] * (unit_in + cos_theta[:, None] * normal)
+        perp_sq = jnp.sum(perp * perp, axis=-1)
+        par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - perp_sq), 1e-12))
+        refr_dir = perp + par[:, None] * normal
+        diel_dir = jnp.where(do_refract[:, None], refr_dir, reflected)
+
+        mtype = ai[:, _MTYPE]
+        is_metal = mtype == MAT_METAL
+        is_diel = mtype == MAT_DIELECTRIC
+        is_light = mtype == MAT_LIGHT
+        direction = jnp.where(is_metal[:, None], metal_dir, diff_dir)
+        direction = jnp.where(is_diel[:, None], diel_dir, direction)
+        attenuation = jnp.where(
+            is_diel[:, None], jnp.ones_like(tex_val), tex_val
+        )
+        emitted = jnp.where(
+            is_light[:, None], tex_val, jnp.zeros_like(tex_val)
+        )
+        sc_alive = jnp.where(is_metal, metal_alive, jnp.ones_like(is_metal))
+        sc_alive = sc_alive & ~is_light
+
+        # ---- accumulate (main.zig:110-121 + gradient sky) ----
+        hit_live = alive & hit
+        miss_live = alive & ~hit
+        radiance = radiance + jnp.where(
+            hit_live[:, None], throughput * emitted, zero3
+        )
+        radiance = radiance + jnp.where(
+            miss_live[:, None], throughput * sky_color(background, d), zero3
+        )
+        new_alive = hit_live & sc_alive
+        throughput = jnp.where(
+            new_alive[:, None], throughput * attenuation, throughput
+        )
+        o = jnp.where(new_alive[:, None], p, o)
+        d = jnp.where(new_alive[:, None], direction, d)
+        return (o, d, throughput, radiance, new_alive), None
+
+    if remat:
+        bounce = jax.checkpoint(bounce)
+
+    max_depth = winners.shape[0]
+    init = (
+        origins,
+        dirs,
+        jnp.ones_like(origins),
+        zero3,
+        times == times,
+    )
+    xs = (jnp.arange(max_depth, dtype=jnp.int32), winners)
+    (_, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs)
+    return radiance

@@ -8,9 +8,12 @@ only materializes its addressable shard of the framebuffer. The
 reference has no distributed anything (SURVEY.md §2); this is the
 TPU-native scale-out path.
 
-Not exercisable in a single-container environment — covered by the
-virtual-device tests for the collective logic and kept deliberately
-thin: initialize(), a global-mesh builder, and a framebuffer gather.
+Exercised for real by tests/test_multiprocess.py: two OS processes,
+a localhost coordinator, jax.distributed.initialize, shard_map over the
+global mesh with cross-process psum, and process_allgather — the same
+calls a TPU pod makes, on the CPU backend's cross-process collectives.
+Kept deliberately thin: initialize(), a global-mesh builder, and a
+framebuffer gather.
 """
 
 from __future__ import annotations

@@ -106,7 +106,7 @@ def _local_radiance_sums(scene, camera, background, seed, pixel_ids, sample_ids,
     The shard's samples are traced in chunks of <= rays_per_chunk rays
     (scan over sample batches), bounding the per-device workspace so
     sharded renders scale past toy sizes (VERDICT r2 #9)."""
-    from rtweekend_tpu.ops.integrator import trace_paths_replay
+    from rtweekend_tpu.ops.replay import trace_paths_replay_fast
 
     n_pix_l = pixel_ids.shape[0]
     n_smp_l = sample_ids.shape[0]
@@ -116,7 +116,7 @@ def _local_radiance_sums(scene, camera, background, seed, pixel_ids, sample_ids,
         pids, sids = _cross_ids(pixel_ids, smp_chunk)
         o, d, t = generate_rays(camera, width, height, pids, sids, seed)
         if win_chunk is not None:
-            rad = trace_paths_replay(
+            rad = trace_paths_replay_fast(
                 scene, o, d, t, pids, sids, seed, background,
                 win_chunk.reshape(max_depth, n_pix_l * chunk), remat=True,
             )
