@@ -98,6 +98,14 @@ from rtweekend_tpu.utils.rng import BOUNCE_STREAM0
 TILE = 1024  # rays per program: (8, 128)
 _NEAR_ZERO = 1e-8
 
+# The closest-hit march's matmul precision, and the number of bf16 MXU
+# passes the hardware issues for it (bench.py's roofline accounting).
+# HIGHEST because Mosaic's default bf16 passes corrupt candidate-t's
+# (~1e-3 relative) enough to flip closest-hit decisions — see
+# intersect_all below.
+_MARCH_PRECISION = jax.lax.Precision.HIGHEST
+_MARCH_PASSES = 6
+
 # Attribute-table row indices (see _pack_scene). Float rows:
 (
     _AF_C0X, _AF_C0Y, _AF_C0Z,          # sphere center c0 (rects: 0)
@@ -502,7 +510,7 @@ def _make_kernel(
                 out = jnp.dot(
                     coef, b,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_MARCH_PRECISION,
                 )
                 a_s = a[sub:sub + 1, :]
                 ia_s = inv_a[sub:sub + 1, :]
