@@ -382,8 +382,13 @@ class SceneBuilder:
     # -- freeze -------------------------------------------------------------
 
     def build(self, dtype=jnp.float32) -> Scene:
-        f = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
-        i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
+        # dtype conversion on the HOST (numpy), then a conversion-free
+        # device_put: jnp.asarray with a converting dtype compiles an
+        # eager convert_element_type per call, and on the remote-TPU
+        # runtime every eager compile is a ~0.4 s round trip.
+        _np_dtype = np.dtype(jnp.dtype(dtype).name)
+        f = lambda x: jnp.asarray(np.asarray(x, dtype=_np_dtype))
+        i32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.int32))
 
         ns, nr = len(self._spheres), len(self._rects)
         ps, pr = _pad_to(ns), _pad_to(nr)

@@ -13,9 +13,9 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rtweekend_tpu.utils import rng as rng_mod
-from rtweekend_tpu.utils import vecmath
 
 
 @dataclasses.dataclass
@@ -51,36 +51,54 @@ def make_camera(
     time1: float = 1.0,
     dtype=jnp.float32,
 ) -> Camera:
-    """Camera.init (reference src/main.zig:52-89), formula for formula."""
-    look_from = jnp.asarray(look_from, dtype)
-    look_at = jnp.asarray(look_at, dtype)
-    vup = jnp.asarray(vup, dtype)
+    """Camera.init (reference src/main.zig:52-89), formula for formula.
+
+    Host-side numpy throughout: camera init is one-time setup, and on
+    the remote-TPU runtime every eager jnp op costs a ~0.4 s compile
+    round trip (a dozen of them made scene setup slower than the
+    render). The math matches the vecmath formulas op for op."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    look_from = np.asarray(look_from, np_dtype)
+    look_at = np.asarray(look_at, np_dtype)
+    vup = np.asarray(vup, np_dtype)
 
     theta = math.radians(vfov_deg)
     h = math.tan(theta / 2.0)
     viewport_height = 2.0 * h
     viewport_width = aspect_ratio * viewport_height
 
-    w = vecmath.normalized(look_from - look_at)
-    u = vecmath.normalized(vecmath.cross(vup, w))
-    v = vecmath.cross(w, u)
+    def _normalized(x):
+        # vecmath.normalized's zero-guard (reference vec.zig:33-40),
+        # with its exact op sequence (x * (1/sqrt(ns))) so the host
+        # numpy result is bit-identical to the former eager-jnp camera
+        ns = np_dtype.type(x[0] * x[0] + x[1] * x[1] + x[2] * x[2])
+        if ns == 0.0:
+            return x
+        return (x * (np_dtype.type(1.0) / np.sqrt(ns))).astype(np_dtype)
+
+    w = _normalized(look_from - look_at)
+    u = _normalized(np.cross(vup, w).astype(np_dtype))
+    v = np.cross(w, u).astype(np_dtype)
 
     origin = look_from
-    horizontal = u * (viewport_width * focus_dist)
-    vertical = v * (viewport_height * focus_dist)
-    lower_left = origin - horizontal / 2.0 - vertical / 2.0 - w * focus_dist
+    horizontal = (u * np_dtype.type(viewport_width * focus_dist)).astype(np_dtype)
+    vertical = (v * np_dtype.type(viewport_height * focus_dist)).astype(np_dtype)
+    lower_left = (
+        origin - horizontal / np_dtype.type(2.0) - vertical / np_dtype.type(2.0)
+        - w * np_dtype.type(focus_dist)
+    ).astype(np_dtype)
 
     return Camera(
-        origin=origin,
-        horizontal=horizontal,
-        vertical=vertical,
-        lower_left=lower_left,
-        u=u,
-        v=v,
-        w=w,
-        lens_radius=jnp.asarray(aperture / 2.0, dtype),
-        time0=jnp.asarray(time0, dtype),
-        time1=jnp.asarray(time1, dtype),
+        origin=jnp.asarray(origin),
+        horizontal=jnp.asarray(horizontal),
+        vertical=jnp.asarray(vertical),
+        lower_left=jnp.asarray(lower_left),
+        u=jnp.asarray(u),
+        v=jnp.asarray(v),
+        w=jnp.asarray(w),
+        lens_radius=jnp.asarray(np_dtype.type(aperture / 2.0)),
+        time0=jnp.asarray(np_dtype.type(time0)),
+        time1=jnp.asarray(np_dtype.type(time1)),
     )
 
 

@@ -74,7 +74,7 @@ _NEAR_ZERO = 1e-8
 
 
 def replay_tables(scene: Scene):
-    """(attr_f [P, 35] float, attr_i [P, 3] int32) in global-primitive
+    """(attr_f [P, 34] float, attr_i [P, 3] int32) in global-primitive
     order — the replay twin of the Pallas kernel's attribute table,
     with materials/textures denormalized onto primitives. Differentiable
     w.r.t. the scene's float leaves (built by jnp ops each trace)."""
