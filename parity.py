@@ -87,6 +87,61 @@ def compare(ours: np.ndarray, golden: np.ndarray) -> dict:
     }
 
 
+# BASELINE.json configs 1-4 rendered to committed self-golden artifacts
+# (VERDICT r4 missing #3). The reference cannot render these — scenes
+# 1-5 do not compile at its HEAD (SURVEY.md §4) — so the right form is
+# a committed artifact + stats + checksum tying each BASELINE config to
+# a reproducible render at fixed keys. Config 1 commits PPM (the
+# BASELINE "PPM parity" format); 2-4 commit PNG.
+BASELINE_CONFIGS = (
+    # (key, scene, width, height, spp, max_depth, format)
+    ("config1_book1_diffuse", "book1_diffuse", 200, 100, 10, 10, "ppm"),
+    ("config2_book1_metal_dielectric", "book1_metal_dielectric",
+     400, 225, 50, 50, "png"),
+    ("config3_book1_defocus", "book1_defocus", 400, 225, 100, 50, "png"),
+    ("config4_final_scene", "final_scene", 1200, 675, 100, 50, "png"),
+)
+
+
+def render_baseline_configs(out_dir: str = "artifacts") -> dict:
+    import hashlib
+    import os
+
+    import jax
+
+    from rtweekend_tpu.config import SCENE_DEFAULTS
+    from rtweekend_tpu.models.builders import build_scene
+    from rtweekend_tpu.render import camera_for_scene, render
+    from rtweekend_tpu.utils import image as image_mod
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = {}
+    for key, scene_name, w, h, spp, depth, fmt in BASELINE_CONFIGS:
+        scene = build_scene(scene_name, seed=42)
+        camera = camera_for_scene(scene_name, aspect_ratio=w / h)
+        bg = SCENE_DEFAULTS[scene_name]["background"]
+        accum = render(scene, camera, w, h, spp, depth, bg, 42)
+        img = np.asarray(image_mod.tonemap(accum, spp))
+        path = os.path.join(out_dir, f"{key}_{w}x{h}_{spp}spp.{fmt}")
+        if fmt == "ppm":
+            image_mod.write_ppm(path, img)
+        else:
+            image_mod.write_png(path, img)
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        rows[key] = {
+            "scene": scene_name, "width": w, "height": h, "spp": spp,
+            "max_depth": depth, "seed": 42, "artifact": path,
+            "sha256": digest,
+            "backend": jax.default_backend(),
+            "channel_means": [round(float(m), 4) for m in
+                              (img / 255.0).mean(axis=(0, 1))],
+            "finite": bool(np.isfinite(np.asarray(accum)).all()),
+        }
+        print(f"{key}: {path} sha256={digest[:12]}...")
+    return rows
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--spp", type=int, default=100)
@@ -100,7 +155,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="parity_report.json")
     p.add_argument("--save-png", default=None,
                    help="also write our render next to the report")
+    p.add_argument("--configs", action="store_true",
+                   help="also render BASELINE configs 1-4 to committed "
+                        "artifacts (artifacts/) and report their stats")
     args = p.parse_args(argv)
+
+    config_rows = render_baseline_configs() if args.configs else None
 
     golden = _load_golden()
     ours = _tonemapped_ours(
@@ -133,6 +193,17 @@ def main(argv=None) -> int:
         ),
         "metrics": compare(ours, golden),
     }
+    if config_rows is not None:
+        report["baseline_configs"] = config_rows
+    elif "baseline_configs" not in report:
+        # keep existing config rows when re-running without --configs
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if "baseline_configs" in prev:
+                report["baseline_configs"] = prev["baseline_configs"]
+        except (OSError, json.JSONDecodeError):
+            pass
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["metrics"]))
