@@ -159,7 +159,12 @@ def test_pallas_sharded_train_step(setup):
         scene, camera, target, W, H, SPP, DEPTH, bg, 43, mesh, lr=1.0,
         use_pallas=True, interpret=True,
     )
-    np.testing.assert_allclose(float(loss_pl), float(loss_jnp), rtol=1e-5)
+    # the streaming step's loss comes from the KERNEL's own radiance
+    # (pass 1 of parallel/shard._train_step_pallas_streaming), not the
+    # replay, so it carries the kernel-vs-jnp reassociation budget
+    # (~1e-4, same as test_pallas_sharded_matches_jnp_sharded) rather
+    # than replay-exactness
+    np.testing.assert_allclose(float(loss_pl), float(loss_jnp), rtol=2e-4)
 
     # unsharded Pallas reference step (same loss, same samples)
     def loss_fn(params):
@@ -172,9 +177,45 @@ def test_pallas_sharded_train_step(setup):
 
     with pltpu.force_tpu_interpret_mode():
         loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params0)
-    np.testing.assert_allclose(float(loss_pl), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_pl), float(loss_ref), rtol=2e-4)
     for k in p_jnp:
         got = np.asarray(params0[k]) - np.asarray(p_pl[k])  # lr=1.0 grads
+        # 2e-3 (the same budget test_train_step_grads_match_unsharded
+        # uses): the streaming step evaluates the MSE cotangent at the
+        # kernel's mean image, the unsharded reference at the replay's —
+        # an O(mean reassociation / |err|) relative grad shift
         np.testing.assert_allclose(
-            got, np.asarray(grads_ref[k]), rtol=1e-3, atol=1e-6
+            got, np.asarray(grads_ref[k]), rtol=2e-3, atol=1e-6
+        )
+
+
+def test_pallas_streaming_blocks_match_single_block(setup):
+    """The streamed winners path (parallel/shard.
+    _train_step_pallas_streaming) must give the same step whether the
+    sample axis fits in one block or is split across several: the
+    gradient is a sum of per-block VJPs with a shared cotangent, so
+    only float reassociation may differ (VERDICT r4 weak #4)."""
+    scene, camera, bg = setup
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    target = jnp.asarray(_single(scene, camera, bg) / SPP)
+    one, loss_one = sharded_train_step(
+        scene, camera, target, W, H, SPP, DEPTH, bg, 43, mesh, lr=1.0,
+        use_pallas=True, interpret=True,
+    )
+    # n_pix_l = 16*16/2 = 128 pixels; rays_per_chunk=128 -> 1 sample per
+    # block locally -> 2 blocks per device (SPP=4 over 2 sample ranks)
+    many, loss_many = sharded_train_step(
+        scene, camera, target, W, H, SPP, DEPTH, bg, 43, mesh, lr=1.0,
+        use_pallas=True, interpret=True, rays_per_chunk=128,
+    )
+    # pass-1 kernel sums accumulate chunk-by-chunk under the small
+    # rays_per_chunk (lax.scan) vs one shot — reassociation only
+    np.testing.assert_allclose(float(loss_many), float(loss_one), rtol=1e-5)
+    for k in one:
+        # 1e-3: identical path decisions, but the per-block replay
+        # reassociates the f32 quadratic, and near-silhouette samples
+        # amplify that by ~1/sqrt(disc) (see test_pallas_sharded_
+        # train_step's docstring) — measured max ~4e-4 on this scene
+        np.testing.assert_allclose(
+            np.asarray(many[k]), np.asarray(one[k]), rtol=1e-3, atol=1e-7
         )
