@@ -98,13 +98,62 @@ from rtweekend_tpu.utils.rng import BOUNCE_STREAM0
 TILE = 1024  # rays per program: (8, 128)
 _NEAR_ZERO = 1e-8
 
-# The closest-hit march's matmul precision, and the number of bf16 MXU
-# passes the hardware issues for it (bench.py's roofline accounting).
-# HIGHEST because Mosaic's default bf16 passes corrupt candidate-t's
-# (~1e-3 relative) enough to flip closest-hit decisions — see
-# intersect_all below.
-_MARCH_PRECISION = jax.lax.Precision.HIGHEST
-_MARCH_PASSES = 6
+# March matmul precision, and the number of bf16 MXU passes it issues
+# (bench.py's roofline accounting). HIGHEST (6-pass, full f32) is
+# REQUIRED, not conservatism — both cheaper alternatives were measured
+# on the final scene (1200x675, 20 spp, v5e) and rejected:
+# - DEFAULT (1 bf16 pass): candidate-t error ~1e-3 relative flips
+#   closest-hit decisions en masse (alive fraction at bounce 4
+#   inflated 0.097 -> 0.23).
+# - "bf16x3" (hand-rolled 3-pass split, Mosaic has no Precision.HIGH):
+#   A@B as Ah@Bh + Ah@Bl + Al@Bh with x = hi + lo bf16 halves. The
+#   ~2^-16 relative operand error is fatal anyway: the MXU
+#   formulation's c_coef row expands |o-c|^2 - r^2 through |beta|^2
+#   terms of ~1e6 (the r=1000 ground sphere) that cancel to ~1e3, so a
+#   1.5e-5 relative error is ~15 absolute on a quantity needing ~1e-2
+#   — grazing hits flip systematically (radiance sum dropped 3.8%).
+#   AND it measured 2.5x SLOWER than HIGHEST (18.0 s vs 7.3 s): the
+#   f32->bf16 splits + packed-layout relayouts per sublane swamp the
+#   saved passes. RTW_MARCH_PRECISION={highest,bf16x3,default} keeps
+#   the A/B reproducible.
+import os as _os
+
+_MARCH_NAME = _os.environ.get("RTW_MARCH_PRECISION", "highest").lower()
+_MARCH_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": jax.lax.Precision.DEFAULT,  # precision of each split pass
+    "highest": jax.lax.Precision.HIGHEST,
+}[_MARCH_NAME]
+_MARCH_PASSES = {"default": 1, "bf16x3": 3, "highest": 6}[_MARCH_NAME]
+
+
+def _split_bf16(x):
+    """x (f32) -> (hi, lo) bf16 with hi + lo ~= x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _march_dot(coef_parts, b):
+    """The march's [r_coef,128]@[128,N] dot at the configured precision.
+
+    coef_parts: (coef,) f32 for default/highest, or (coef_hi, coef_lo)
+    bf16 for bf16x3 (split once per kernel invocation)."""
+    if _MARCH_NAME != "bf16x3":
+        return jnp.dot(
+            coef_parts[0], b,
+            preferred_element_type=jnp.float32,
+            precision=_MARCH_PRECISION,
+        )
+    c_hi, c_lo = coef_parts
+    b_hi, b_lo = _split_bf16(b)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (
+        jnp.dot(c_hi, b_hi, **kw)
+        + jnp.dot(c_hi, b_lo, **kw)
+        + jnp.dot(c_lo, b_hi, **kw)
+    )
 
 # Attribute-table row indices (see _pack_scene). Float rows:
 (
@@ -475,6 +524,14 @@ def _make_kernel(
                     qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
                 return jnp.abs(accum)
 
+        # coefficient table read (+ bf16 hi/lo split for the bf16x3
+        # march) once per kernel invocation, not per bounce
+        coef = coef_ref[:]                              # (2S+6R, 128)
+        if _MARCH_NAME == "bf16x3":
+            coef_parts = _split_bf16(coef)
+        else:
+            coef_parts = (coef,)
+
         def intersect_all(ox, oy, oz, dx, dy, dz):
             """Closest hit over all primitives for the ray tile via the
             MXU coefficient matmul (module docstring). Returns
@@ -496,22 +553,13 @@ def _make_kernel(
                 one,
             ]
             fstack = jnp.stack(feats, axis=0)          # (NF, 8, 128)
-            coef = coef_ref[:]                          # (2S+6R, 128)
             zpad = jnp.zeros((128 - NF, 128), jnp.float32)
             s, r = s_pad, r_pad
             t_rows, i_rows = [], []
             for sub in range(8):
                 b = jnp.concatenate([fstack[:, sub, :], zpad], axis=0)
-                # HIGHEST precision: Mosaic's default f32 matmul runs
-                # reduced-precision bf16 passes on the MXU, whose
-                # candidate-t error (~1e-3 relative) visibly corrupts
-                # closest-hit decisions (measured: alive fraction at
-                # bounce 4 inflated 0.097 -> 0.23 on the final scene).
-                out = jnp.dot(
-                    coef, b,
-                    preferred_element_type=jnp.float32,
-                    precision=_MARCH_PRECISION,
-                )
+                # precision: see _march_dot / _MARCH_NAME at module top
+                out = _march_dot(coef_parts, b)
                 a_s = a[sub:sub + 1, :]
                 ia_s = inv_a[sub:sub + 1, :]
                 t_sph = coeffs.quadratic_t(
@@ -1097,7 +1145,8 @@ def trace_paths_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("n_bounces", "out_cap", "t_min", "s_pad", "r_pad",
-                     "has_noise", "has_image", "has_motion", "interpret"),
+                     "has_noise", "has_image", "has_motion", "interpret",
+                     "identity_ids"),
     donate_argnames=("total",),
 )
 def _segment_fused(
@@ -1118,6 +1167,7 @@ def _segment_fused(
     has_image: bool = False,
     has_motion: bool = True,
     interpret: bool = False,
+    identity_ids: bool = False,  # ray_id == arange (no compaction yet)
 ):
     """One fused executable per segment: (optional) compaction + kernel
     + radiance scatter-back + alive count. Fusing keeps the glue ops
@@ -1138,7 +1188,31 @@ def _segment_fused(
         alive = state["al"] > 0.5
         idx = jnp.nonzero(alive, size=out_cap, fill_value=0)[0]
         keep = (jnp.arange(out_cap, dtype=jnp.int32) < count) & alive[idx]
-        state = {k: v[idx] for k, v in state.items()}
+        # ONE row-gather instead of 14 separate 1-D gathers: profiled on
+        # v5e, TPU gather cost is per INDEX ROW and nearly independent
+        # of row width (each 1-D field gather measured ~70 ms per 2.4M
+        # elements; the whole compaction glue was 4.2 s of a 7.3 s
+        # render — 8.7x the Pallas kernel itself). Packing the state
+        # into [cap, n_fields] f32 lanes turns compaction into a single
+        # row-gather. int32 fields ride as bitcast f32 lanes (bits are
+        # moved, never computed on).
+        order = sorted(state)
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(state[k], jnp.float32)
+                if state[k].dtype != jnp.float32 else state[k]
+                for k in order
+            ],
+            axis=1,
+        )
+        g = packed[idx]
+        state = {
+            k: (
+                jax.lax.bitcast_convert_type(g[:, i], state[k].dtype)
+                if state[k].dtype != jnp.float32 else g[:, i]
+            )
+            for i, k in enumerate(order)
+        }
         state["al"] = keep.astype(jnp.float32)
     ray_id = state["ray_id"]
     rad, st = _trace_segment(
@@ -1148,7 +1222,13 @@ def _segment_fused(
         has_motion=has_motion, interpret=interpret,
     )
     # dead/padding lanes produced rad == 0 inside the kernel
-    total = total.at[ray_id].add(rad, mode="drop")
+    if identity_ids:
+        # before the first compaction, ray_id == arange(cap): the
+        # scatter-add is a dense add (the 4.05M-row identity scatter
+        # alone measured ~0.25 s per batch — ~80x a fused dense add)
+        total = total + rad[: total.shape[0]]
+    else:
+        total = total.at[ray_id].add(rad, mode="drop")
     new_count = jnp.sum(st["al"] > 0.5, dtype=jnp.int32)
     st["ray_id"] = ray_id
     return total, st, new_count, overflow
@@ -1218,6 +1298,7 @@ def trace_paths_pallas_compact(
 
     b = 0
     cap = state["ox"].shape[0]
+    full_cap = cap
     count_dev = jnp.int32(n)
     overflow = jnp.bool_(False)
     while b < max_depth:
@@ -1225,7 +1306,8 @@ def trace_paths_pallas_compact(
         out_cap = min(cap, cap_at.get(b, cap))
         total, state, count_dev, ovf = _segment_fused(
             tables, state, total, seed, background, jnp.int32(b), count_dev,
-            nxt - b, out_cap, t_min, interpret=interpret, **meta,
+            nxt - b, out_cap, t_min, interpret=interpret,
+            identity_ids=(out_cap == full_cap), **meta,
         )
         overflow = overflow | ovf
         cap = out_cap
