@@ -63,7 +63,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 WIDTH, HEIGHT = 1200, 675
-SPP_MEASURE = 20          # measured sample count; rays/s extrapolates
+SPP_MEASURE = 40          # measured sample count; rays/s extrapolates
+                          # (40 -> ~4.5 s timed window at 7M rays/s; same
+                          # compiled executables as any multiple of 5)
 MAX_DEPTH = 50
 RAYS_PER_CHUNK = 1 << 22  # 5-spp wavefronts: best measured chunking
 BASELINE_FILE = os.path.join(_here, "BENCH_BASELINE.json")

@@ -1186,7 +1186,15 @@ def _segment_fused(
     if out_cap < state["ox"].shape[0]:
         overflow = count > out_cap
         alive = state["al"] > 0.5
-        idx = jnp.nonzero(alive, size=out_cap, fill_value=0)[0]
+        cap_prev = state["ox"].shape[0]
+        # fill_value = cap_prev - 1 keeps idx non-strictly ASCENDING
+        # (every real entry <= cap_prev - 1 and fills sit at the tail),
+        # which legitimizes the indices_are_sorted fast-path hints on
+        # the gather below and on the scatter-add (ray_id inherits the
+        # ordering: the buffer is always in ascending-ray_id order, so
+        # fill lanes gather the largest resident ray_id). Uniqueness is
+        # NOT claimed anywhere — fills duplicate.
+        idx = jnp.nonzero(alive, size=out_cap, fill_value=cap_prev - 1)[0]
         keep = (jnp.arange(out_cap, dtype=jnp.int32) < count) & alive[idx]
         # ONE row-gather instead of 14 separate 1-D gathers: profiled on
         # v5e, TPU gather cost is per INDEX ROW and nearly independent
@@ -1205,7 +1213,7 @@ def _segment_fused(
             ],
             axis=1,
         )
-        g = packed[idx]
+        g = jnp.take(packed, idx, axis=0, indices_are_sorted=True)
         state = {
             k: (
                 jax.lax.bitcast_convert_type(g[:, i], state[k].dtype)
@@ -1228,7 +1236,12 @@ def _segment_fused(
         # alone measured ~0.25 s per batch — ~80x a fused dense add)
         total = total + rad[: total.shape[0]]
     else:
-        total = total.at[ray_id].add(rad, mode="drop")
+        # ray_id stays ascending through every compaction (see the
+        # fill_value note above), so the scatter-add may use XLA's
+        # sorted fast path; fill-lane duplicates add rad == 0
+        total = total.at[ray_id].add(
+            rad, mode="drop", indices_are_sorted=True,
+        )
     new_count = jnp.sum(st["al"] > 0.5, dtype=jnp.int32)
     st["ray_id"] = ray_id
     return total, st, new_count, overflow
