@@ -40,3 +40,27 @@ def test_alive_fractions_decay():
     # cornell: paths die only by hitting the light or escaping through
     # the open... the box is closed, so decay is slow but present
     assert np.all(np.diff(fr) <= 1e-6)
+
+
+def test_trace_report_parses_profiler_output(tmp_path):
+    """utils.trace_report aggregates a real jax.profiler trace; on the
+    CPU backend there are no device pids, so the report must be valid
+    with zero device time (the TPU path is exercised by the round-5
+    perf work it documents)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtweekend_tpu.utils import trace_report
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * x)
+
+    f(jnp.ones((128, 128))).block_until_ready()
+    with jax.profiler.trace(str(tmp_path)):
+        f(jnp.ones((128, 128))).block_until_ready()
+    rep = trace_report.report(str(tmp_path))
+    assert set(rep) == {
+        "device_total_s", "by_source", "by_hlo_category", "by_op"
+    }
+    assert rep["device_total_s"] >= 0.0
