@@ -112,7 +112,20 @@ def _winners_sharded(scene, camera, width, height, max_depth, background,
     the checker off the psum TRANSPOSE is unsound, so no psum/grad may
     appear inside) — the differentiable consumer is the jnp replay in a
     checked shard_map."""
+    fn = _make_winners_fn(
+        width, height, max_depth, mesh, interpret, rays_per_chunk
+    )
+    return fn(scene, camera, background, seed, pixel_ids, sample_ids)
 
+
+def _make_winners_fn(width, height, max_depth, mesh, interpret,
+                     rays_per_chunk):
+    """Build the jitted winners program ONCE so repeated same-shape
+    calls (the streaming train step's sample blocks) hit the jit cache
+    instead of re-tracing and re-compiling a fresh shard_map closure
+    per block (bare shard_map calls trace every time)."""
+
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -142,7 +155,7 @@ def _winners_sharded(scene, camera, width, height, max_depth, background,
         )  # [n_chunks, depth, n_pix_l, chunk]
         return jnp.concatenate(list(wins), axis=-1)
 
-    return run(scene, camera, background, seed, pixel_ids, sample_ids)
+    return run
 
 
 def _local_radiance_sums(scene, camera, background, seed, pixel_ids, sample_ids,
@@ -225,6 +238,7 @@ def render_sharded(
     *,
     use_pallas: bool = False,
     interpret: bool = False,
+    rays_per_chunk: int = 1 << 20,
 ):
     """Distributed render; returns the radiance SUM framebuffer [H, W, 3]
     (same samples as the single-device render at the same seed).
@@ -253,6 +267,7 @@ def render_sharded(
         part = _kernel_sums_sharded(
             scene, camera, width, height, max_depth, background, seed,
             mesh, pixel_ids, sample_ids, interpret=interpret,
+            rays_per_chunk=rays_per_chunk,
         )
         sums = jnp.sum(part, axis=0)
         return sums.reshape(height, width, 3)[::-1]
@@ -453,21 +468,25 @@ def _train_step_pallas_streaming(
         # the tree-add never runs as eager per-leaf ops on the host
         return jax.tree.map(jnp.add, acc, jax.grad(g)(params))
 
-    block_grads = functools.partial(
+    # jit both per-block programs ONCE: blocks share shapes, so every
+    # block after the first hits the jit cache instead of re-tracing a
+    # fresh shard_map closure (bare shard_map calls trace every time)
+    block_grads = jax.jit(functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(TILE_AXIS),
                   P(SAMPLE_AXIS), P(TILE_AXIS),
                   P(None, TILE_AXIS, SAMPLE_AXIS)),
         out_specs=P(),  # vma-checked: the psum transpose is verified
-    )(block_grads)
+    )(block_grads))
+    winners_fn = _make_winners_fn(
+        width, height, max_depth, mesh, interpret, rays_per_chunk
+    )
 
     grads = jax.tree.map(jnp.zeros_like, params)
     for s0 in range(0, samples_per_pixel, blk):
         block_ids = sample_ids[s0:s0 + blk]
-        win = _winners_sharded(
-            scene, camera, width, height, max_depth, background, seed,
-            mesh, pixel_ids, block_ids, interpret=interpret,
-            rays_per_chunk=rays_per_chunk,
+        win = winners_fn(
+            scene, camera, background, seed, pixel_ids, block_ids,
         )
         grads = block_grads(
             grads, params, scene, camera, background, seed, pixel_ids,
