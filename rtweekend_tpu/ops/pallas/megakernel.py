@@ -1261,7 +1261,15 @@ def _tiles(n: int) -> int:
 # Boundaries are deliberately few: every (capacity, length) pair is a
 # separate Mosaic executable, and on the remote-TPU runtime each
 # uncached compile costs tens of seconds per process.
-CAPS_OPEN = ((2, 0.6), (4, 0.2), (8, 0.05), (16, 0.015))
+#
+# Tuned r5 against the MEASURED per-row glue costs on v5e (scatter
+# ~83 ns, gather ~29 ns, nonzero ~12.5 ns per row; kernel ~6 ns per
+# ray-lane-bounce — utils/trace_report on a bench-config render): the
+# scatter of each segment's radiance is per ROW of its capacity, so a
+# later first boundary with fewer, tighter segments beats r4's
+# ((2,.6),(4,.2),(8,.05),(16,.015)) by ~23% modeled glue cost while
+# keeping >= 2x alive margins everywhere.
+CAPS_OPEN = ((3, 0.45), (6, 0.10), (12, 0.02), (20, 0.010))
 # CLOSED: enclosed scenes (Cornell box) — diffuse walls keep most rays
 # alive, so only mild late compaction is safe.
 CAPS_CLOSED = ((8, 0.7), (16, 0.55), (32, 0.4))
