@@ -105,11 +105,16 @@ def _executed_lane_bounces(n_rays_batch, n_batches, max_depth, capacities):
 
 
 def _capacities():
-    """The compaction schedule render() actually uses for this config
-    (must match render._capacities_for at the bench background)."""
-    from rtweekend_tpu.render import _capacities_for
+    """The compaction schedule this bench renders with: the MEASURED
+    adaptive schedule (alive-fraction probe on the CPU backend), exactly
+    what render_image/the CLI give users for a known scene name — the
+    static CAPS_OPEN fallback exists only for unnamed scenes. Cached per
+    process, so the roofline accounting and the render agree."""
+    from rtweekend_tpu.render import adaptive_capacities
 
-    return _capacities_for((0.70, 0.80, 1.00))
+    return adaptive_capacities(
+        "final_scene", (0.70, 0.80, 1.00), MAX_DEPTH
+    )
 
 
 def _roofline(scene, dt, n_rays, rays_per_s, capacities):
@@ -207,10 +212,12 @@ def main():
     camera = camera_for_scene("final_scene", aspect_ratio=WIDTH / HEIGHT)
     background = (0.70, 0.80, 1.00)
 
+    caps = _capacities()  # measured adaptive schedule (CPU probe)
+    _note(f"adaptive capacities: {caps}")
     kwargs = dict(
         width=WIDTH, height=HEIGHT, samples_per_pixel=SPP_MEASURE,
         max_depth=MAX_DEPTH, background=background, seed=42,
-        rays_per_chunk=RAYS_PER_CHUNK,
+        rays_per_chunk=RAYS_PER_CHUNK, capacities=caps,
     )
 
     # warmup: compiles every executable at the measured shapes; the

@@ -1229,18 +1229,26 @@ def _segment_fused(
         s_pad=s_pad, r_pad=r_pad, has_noise=has_noise, has_image=has_image,
         has_motion=has_motion, interpret=interpret,
     )
-    # dead/padding lanes produced rad == 0 inside the kernel
+    # dead/padding lanes produced rad == 0 inside the kernel.
+    # `total` is a per-channel (r, g, b) tuple of [N] buffers: three 1-D
+    # scatter-adds measured 2.4x FASTER than one [N,3] row scatter on
+    # v5e (79 ms vs 193 ms at the bench b3 boundary's 1.82M updates) —
+    # the [N,3] target's {0,1:T(4,128)} layout splits each update row
+    # across tiles.
+    chans = (rad[:, 0], rad[:, 1], rad[:, 2])
     if identity_ids:
         # before the first compaction, ray_id == arange(cap): the
         # scatter-add is a dense add (the 4.05M-row identity scatter
         # alone measured ~0.25 s per batch — ~80x a fused dense add)
-        total = total + rad[: total.shape[0]]
+        n_out = total[0].shape[0]
+        total = tuple(t + c[:n_out] for t, c in zip(total, chans))
     else:
         # ray_id stays ascending through every compaction (see the
         # fill_value note above), so the scatter-add may use XLA's
         # sorted fast path; fill-lane duplicates add rad == 0
-        total = total.at[ray_id].add(
-            rad, mode="drop", indices_are_sorted=True,
+        total = tuple(
+            t.at[ray_id].add(c, mode="drop", indices_are_sorted=True)
+            for t, c in zip(total, chans)
         )
     new_count = jnp.sum(st["al"] > 0.5, dtype=jnp.int32)
     st["ray_id"] = ray_id
@@ -1304,7 +1312,9 @@ def trace_paths_pallas_compact(
     n = origins.shape[0]
     state = _init_state(origins, dirs, times, pixel_ids, sample_ids)
     state["ray_id"] = jnp.arange(state["ox"].shape[0], dtype=jnp.int32)
-    total = jnp.zeros((n, 3), jnp.float32)
+    # per-channel 1-D accumulators (see the scatter note in
+    # _segment_fused); stacked to [n, 3] once at the end
+    total = tuple(jnp.zeros((n,), jnp.float32) for _ in range(3))
     tables = jax.jit(_pack_scene)(scene)
     meta = _static_meta(scene)
 
@@ -1333,6 +1343,7 @@ def trace_paths_pallas_compact(
         overflow = overflow | ovf
         cap = out_cap
         b = nxt
+    total = jnp.stack(total, axis=-1)  # [n, 3]
     if return_overflow:
         return total, overflow
     return jnp.where(overflow, jnp.float32(jnp.nan), total)
