@@ -1177,8 +1177,8 @@ def _segment_fused(
 
     out_cap comes from the static capacity schedule; the device-side
     `count` (alive count after the previous segment) masks the nonzero
-    fill lanes: nonzero pads with index 0, and the `< count` mask kills
-    those duplicates so row 0 is never double-traced. If count exceeds
+    fill lanes (fills gather the last buffer slot; the `< count` mask
+    marks them dead so nothing is double-traced). If count exceeds
     out_cap, alive rays would be dropped — that raises `overflow`
     instead of biasing the image. Returns
     (total, new_state[out_cap], new_count, overflow)."""
@@ -1195,7 +1195,6 @@ def _segment_fused(
         # fill lanes gather the largest resident ray_id). Uniqueness is
         # NOT claimed anywhere — fills duplicate.
         idx = jnp.nonzero(alive, size=out_cap, fill_value=cap_prev - 1)[0]
-        keep = (jnp.arange(out_cap, dtype=jnp.int32) < count) & alive[idx]
         # ONE row-gather instead of 14 separate 1-D gathers: profiled on
         # v5e, TPU gather cost is per INDEX ROW and nearly independent
         # of row width (each 1-D field gather measured ~70 ms per 2.4M
@@ -1221,6 +1220,12 @@ def _segment_fused(
             )
             for i, k in enumerate(order)
         }
+        # alive-at-idx comes from the packed row (its `al` lane), not a
+        # second 1-D gather over the old buffer
+        keep = (
+            (jnp.arange(out_cap, dtype=jnp.int32) < count)
+            & (state["al"] > 0.5)
+        )
         state["al"] = keep.astype(jnp.float32)
     ray_id = state["ray_id"]
     rad, st = _trace_segment(

@@ -57,7 +57,6 @@ def _kernel_sums_sharded(scene, camera, width, height, max_depth, background,
     sums in its own row (the sample axis is explicit in the output
     because the unchecked region cannot claim replication); the caller
     sums axis 0 — an XLA collective over the sample mesh axis."""
-    n_samp = mesh.shape[SAMPLE_AXIS]
 
     @functools.partial(
         shard_map,
@@ -93,7 +92,6 @@ def _kernel_sums_sharded(scene, camera, width, height, max_depth, background,
             )
         return local[None]
 
-    del n_samp
     return run(scene, camera, background, seed, pixel_ids, sample_ids)
 
 
