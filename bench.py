@@ -127,7 +127,15 @@ def _roofline(scene, dt, n_rays, rays_per_s, capacities):
     zero-padding to the 128-lane contraction. Both numbers are
     reported: mfu_pct counts what the silicon executed
     (x _MARCH_PASSES bf16 passes for the march precision),
-    useful_mfu_pct counts only the non-padding fraction."""
+    useful_mfu_pct counts only the non-padding fraction.
+
+    Read useful_mfu_pct carefully: the K-dim zero padding costs NO
+    wall-clock — MXU cycles scale with the M x N tile count (streaming
+    r_coef rows), not with K occupancy, so shrinking K from 128 to 17
+    would execute the same cycles (measured r5: K-packing schemes only
+    ever INCREASE M and slow down). pct_of_sol — rays/s against the
+    MXU saturating exactly the passes the compacted schedule issues —
+    is the efficiency number that tracks real headroom."""
     import jax
 
     from rtweekend_tpu.ops.coeffs import NF
